@@ -1,0 +1,405 @@
+"""World state schema: fixed-capacity structure-of-arrays pytrees.
+
+This replaces the reference's pointer-graph object model (b2Body linked lists,
+block-allocated b2Contact/b2Joint, b2Fixture proxy lists — reference:
+Box2D/Dynamics/b2World.h:46, b2Body.h:126, Contacts/b2Contact.h:95) with a
+single immutable pytree of dense arrays sized at build time. `step` is a pure
+function State -> State; `vmap(step)` batches thousands of worlds; sharding
+the batch axis over a device mesh scales across chips.
+
+Slot conventions:
+  * empty body slots have `body_type == -1`
+  * empty fixture slots have `body == -1`
+  * empty contact slots have `f_a == -1`
+  * joints carry an explicit `active` mask
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from . import settings
+
+
+def _pytree(cls):
+    """Register a dataclass whose fields are all pytree children."""
+    cls = dataclasses.dataclass(frozen=True)(cls)
+    fields = [f.name for f in dataclasses.fields(cls)]
+    return jax.tree_util.register_dataclass(cls, data_fields=fields, meta_fields=[])
+
+
+def field(**kw):
+    return dataclasses.field(**kw)
+
+
+@_pytree
+class Bodies:
+    """SoA equivalent of b2Body (reference: b2Body.h:443-512).
+
+    Positions are stored as the sweep center `c` (world center of mass) and
+    angle `a` — the variables the solver integrates (b2Island.cpp:192-230).
+    The body-origin transform is derived: p = c - R(a)·local_center.
+    `c0/a0/alpha0` are the sweep start states for CCD (b2Math.h:362-383).
+    """
+
+    body_type: jax.Array      # (N,) i32: -1 empty / 0 static / 1 kinematic / 2 dynamic
+    c: jax.Array              # (N,2) f32 world center of mass
+    a: jax.Array              # (N,) f32 angle
+    c0: jax.Array             # (N,2) f32 sweep start center
+    a0: jax.Array             # (N,) f32 sweep start angle
+    alpha0: jax.Array         # (N,) f32 sweep start fraction
+    local_center: jax.Array   # (N,2) f32 center of mass in body frame
+    v: jax.Array              # (N,2) f32 linear velocity (of center)
+    w: jax.Array              # (N,) f32 angular velocity
+    force: jax.Array          # (N,2) f32 accumulated force
+    torque: jax.Array         # (N,) f32 accumulated torque
+    inv_mass: jax.Array       # (N,) f32
+    inv_inertia: jax.Array    # (N,) f32 (about center of mass)
+    linear_damping: jax.Array   # (N,) f32
+    angular_damping: jax.Array  # (N,) f32
+    gravity_scale: jax.Array    # (N,) f32
+    awake: jax.Array          # (N,) bool
+    allow_sleep: jax.Array    # (N,) bool
+    fixed_rotation: jax.Array  # (N,) bool
+    bullet: jax.Array         # (N,) bool
+    enabled: jax.Array        # (N,) bool (reference "active" flag)
+    sleep_time: jax.Array     # (N,) f32
+
+    @property
+    def capacity(self):
+        return self.body_type.shape[-1]
+
+    @property
+    def q(self):
+        """Rotation (sin, cos) from angle."""
+        from . import math2d
+        return math2d.rot_from_angle(self.a)
+
+    @property
+    def xf_p(self):
+        """Body-origin world position (b2Body::GetPosition)."""
+        from . import math2d
+        return self.c - math2d.rot_vec(self.q, self.local_center)
+
+    @property
+    def exists(self):
+        return self.body_type >= 0
+
+    @property
+    def is_dynamic(self):
+        return self.body_type == settings.DYNAMIC_BODY
+
+    @property
+    def is_static(self):
+        return self.body_type == settings.STATIC_BODY
+
+
+@_pytree
+class Fixtures:
+    """SoA equivalent of b2Fixture + its shape (reference: b2Fixture.h:100,
+    Collision/Shapes/*). All shapes share one vertex-array layout:
+
+      * circle:  verts[0] = local center, radius = m_radius
+      * polygon: verts[0:n], normals[0:n], radius = b2_polygonRadius
+      * edge:    verts[0] = v1, verts[1] = v2, verts[2] = ghost v0,
+                 verts[3] = ghost v3, ghosts = (has_v0, has_v3)
+
+    Chain shapes are decomposed into per-edge child fixtures at build time
+    (reference: b2ChainShape::GetChildEdge), preserving ghost-vertex collision.
+
+    `aabb_lo/aabb_hi` is the persistent *fat* broad-phase AABB
+    (b2DynamicTree proxy semantics, b2DynamicTree.cpp:130-176): it is only
+    recomputed when the tight swept AABB escapes it, which also gates pair
+    (re)computation exactly like the reference's move buffer.
+    """
+
+    body: jax.Array          # (F,) i32 body slot, -1 = empty
+    shape_type: jax.Array    # (F,) i32 settings.SHAPE_*
+    radius: jax.Array        # (F,) f32
+    verts: jax.Array         # (F, 8, 2) f32 local vertices
+    normals: jax.Array       # (F, 8, 2) f32 local edge normals (polygon)
+    nverts: jax.Array        # (F,) i32
+    ghosts: jax.Array        # (F, 2) bool edge ghost-vertex presence
+    friction: jax.Array      # (F,) f32
+    restitution: jax.Array   # (F,) f32
+    density: jax.Array       # (F,) f32
+    is_sensor: jax.Array     # (F,) bool
+    filter_category: jax.Array  # (F,) i32 (16-bit semantics)
+    filter_mask: jax.Array      # (F,) i32
+    filter_group: jax.Array     # (F,) i32
+    thick_shape: jax.Array      # (F,) bool (MT fork's CCD opt-out, b2Fixture.h:68)
+    aabb_lo: jax.Array       # (F,2) f32 fat AABB lower
+    aabb_hi: jax.Array       # (F,2) f32 fat AABB upper
+
+    @property
+    def capacity(self):
+        return self.body.shape[-1]
+
+    @property
+    def exists(self):
+        return self.body >= 0
+
+
+@_pytree
+class Contacts:
+    """Persistent contact table (slot i holds the i-th pair in canonical
+    sorted key order). Equivalent of the reference's contact list +
+    b2Manifold (b2Collision.h:93-107) + cached impulses for warm starting.
+
+    Keys are canonical (min fixture, max fixture) packed as fa * F + fb —
+    replicating b2ContactProxyIds' deterministic ordering (b2Contact.h:65-77).
+    """
+
+    f_a: jax.Array            # (C,) i32 fixture A (lower id), -1 = empty
+    f_b: jax.Array            # (C,) i32 fixture B
+    m_type: jax.Array         # (C,) i32 manifold type
+    m_local_point: jax.Array  # (C,2) f32
+    m_local_normal: jax.Array  # (C,2) f32
+    m_points: jax.Array       # (C,2,2) f32 manifold local points
+    m_ids: jax.Array          # (C,2) i32 packed contact feature ids
+    m_count: jax.Array        # (C,) i32
+    normal_impulse: jax.Array   # (C,2) f32
+    tangent_impulse: jax.Array  # (C,2) f32
+    touching: jax.Array       # (C,) bool
+    toi_count: jax.Array      # (C,) i32 CCD sub-steps consumed this step
+
+    @property
+    def capacity(self):
+        return self.f_a.shape[-1]
+
+    @property
+    def exists(self):
+        return self.f_a >= 0
+
+
+@_pytree
+class State:
+    """Complete world state; the pytree that `step` maps to a new instance."""
+
+    bodies: Bodies
+    fixtures: Fixtures
+    contacts: Contacts
+    joints: "Joints"
+    gravity: jax.Array        # (2,) f32
+    inv_dt0: jax.Array        # () f32 previous step's 1/dt (dtRatio warm start)
+
+
+# --------------------------------------------------------------------------
+# Joints: typed SoA blocks, one per reference joint class
+# (reference: Dynamics/Joints/b2Joint.h:38-52 — 11 types).
+# Every block shares the common fields; params/impulses are per type.
+# --------------------------------------------------------------------------
+
+
+def _joint_common_fields():
+    return dict(
+        active=None,            # (J,) bool
+        body_a=None,            # (J,) i32
+        body_b=None,            # (J,) i32
+        collide_connected=None,  # (J,) bool
+    )
+
+
+@_pytree
+class RevoluteJoints:
+    """b2RevoluteJoint (reference: Joints/b2RevoluteJoint.h:85-204)."""
+    active: jax.Array
+    body_a: jax.Array
+    body_b: jax.Array
+    collide_connected: jax.Array
+    local_anchor_a: jax.Array   # (J,2)
+    local_anchor_b: jax.Array   # (J,2)
+    reference_angle: jax.Array  # (J,)
+    enable_limit: jax.Array     # (J,) bool
+    lower_angle: jax.Array
+    upper_angle: jax.Array
+    enable_motor: jax.Array     # (J,) bool
+    motor_speed: jax.Array
+    max_motor_torque: jax.Array
+    impulse: jax.Array          # (J,3) persistent (x, y, angular)
+    motor_impulse: jax.Array    # (J,)
+
+
+@_pytree
+class DistanceJoints:
+    """b2DistanceJoint (reference: Joints/b2DistanceJoint.h:68-169)."""
+    active: jax.Array
+    body_a: jax.Array
+    body_b: jax.Array
+    collide_connected: jax.Array
+    local_anchor_a: jax.Array
+    local_anchor_b: jax.Array
+    length: jax.Array
+    frequency: jax.Array        # Hz; 0 = rigid
+    damping_ratio: jax.Array
+    impulse: jax.Array          # (J,)
+
+
+@_pytree
+class PrismaticJoints:
+    """b2PrismaticJoint (reference: Joints/b2PrismaticJoint.h:76-196)."""
+    active: jax.Array
+    body_a: jax.Array
+    body_b: jax.Array
+    collide_connected: jax.Array
+    local_anchor_a: jax.Array
+    local_anchor_b: jax.Array
+    local_axis_a: jax.Array     # (J,2)
+    reference_angle: jax.Array
+    enable_limit: jax.Array
+    lower_translation: jax.Array
+    upper_translation: jax.Array
+    enable_motor: jax.Array
+    motor_speed: jax.Array
+    max_motor_force: jax.Array
+    impulse: jax.Array          # (J,3)
+    motor_impulse: jax.Array
+
+
+@_pytree
+class MouseJoints:
+    """b2MouseJoint (reference: Joints/b2MouseJoint.h:36-129)."""
+    active: jax.Array
+    body_a: jax.Array           # unused (ground proxy), kept for uniformity
+    body_b: jax.Array
+    collide_connected: jax.Array
+    target: jax.Array           # (J,2) world target
+    local_anchor_b: jax.Array   # (J,2)
+    max_force: jax.Array
+    frequency: jax.Array
+    damping_ratio: jax.Array
+    impulse: jax.Array          # (J,2)
+
+
+@_pytree
+class WeldJoints:
+    """b2WeldJoint (reference: Joints/b2WeldJoint.h:70-126)."""
+    active: jax.Array
+    body_a: jax.Array
+    body_b: jax.Array
+    collide_connected: jax.Array
+    local_anchor_a: jax.Array
+    local_anchor_b: jax.Array
+    reference_angle: jax.Array
+    frequency: jax.Array
+    damping_ratio: jax.Array
+    impulse: jax.Array          # (J,3)
+
+
+@_pytree
+class FrictionJoints:
+    """b2FrictionJoint (reference: Joints/b2FrictionJoint.h:39-120)."""
+    active: jax.Array
+    body_a: jax.Array
+    body_b: jax.Array
+    collide_connected: jax.Array
+    local_anchor_a: jax.Array
+    local_anchor_b: jax.Array
+    max_force: jax.Array
+    max_torque: jax.Array
+    linear_impulse: jax.Array   # (J,2)
+    angular_impulse: jax.Array  # (J,)
+
+
+@_pytree
+class RopeJoints:
+    """b2RopeJoint (reference: Joints/b2RopeJoint.h:39-114)."""
+    active: jax.Array
+    body_a: jax.Array
+    body_b: jax.Array
+    collide_connected: jax.Array
+    local_anchor_a: jax.Array
+    local_anchor_b: jax.Array
+    max_length: jax.Array
+    impulse: jax.Array          # (J,)
+
+
+@_pytree
+class MotorJoints:
+    """b2MotorJoint (reference: Joints/b2MotorJoint.h:41-133)."""
+    active: jax.Array
+    body_a: jax.Array
+    body_b: jax.Array
+    collide_connected: jax.Array
+    linear_offset: jax.Array    # (J,2)
+    angular_offset: jax.Array
+    max_force: jax.Array
+    max_torque: jax.Array
+    correction_factor: jax.Array
+    linear_impulse: jax.Array   # (J,2)
+    angular_impulse: jax.Array
+
+
+@_pytree
+class WheelJoints:
+    """b2WheelJoint (reference: Joints/b2WheelJoint.h:77-210)."""
+    active: jax.Array
+    body_a: jax.Array
+    body_b: jax.Array
+    collide_connected: jax.Array
+    local_anchor_a: jax.Array
+    local_anchor_b: jax.Array
+    local_axis_a: jax.Array
+    enable_motor: jax.Array
+    motor_speed: jax.Array
+    max_motor_torque: jax.Array
+    frequency: jax.Array
+    damping_ratio: jax.Array
+    impulse: jax.Array          # (J,) spring-perp impulse
+    spring_impulse: jax.Array   # (J,)
+    motor_impulse: jax.Array    # (J,)
+
+
+@_pytree
+class PulleyJoints:
+    """b2PulleyJoint (reference: Joints/b2PulleyJoint.h:64-151)."""
+    active: jax.Array
+    body_a: jax.Array
+    body_b: jax.Array
+    collide_connected: jax.Array
+    ground_anchor_a: jax.Array  # (J,2) world
+    ground_anchor_b: jax.Array
+    local_anchor_a: jax.Array
+    local_anchor_b: jax.Array
+    length_a: jax.Array
+    length_b: jax.Array
+    ratio: jax.Array
+    impulse: jax.Array          # (J,)
+
+
+@_pytree
+class GearJoints:
+    """b2GearJoint (reference: Joints/b2GearJoint.h:38-126). Couples two
+    existing revolute/prismatic joints; joint1/joint2 index into those typed
+    blocks with a type flag (0 = revolute, 1 = prismatic)."""
+    active: jax.Array
+    body_a: jax.Array
+    body_b: jax.Array
+    collide_connected: jax.Array
+    joint1_type: jax.Array      # (J,) i32
+    joint1_index: jax.Array     # (J,) i32
+    joint2_type: jax.Array
+    joint2_index: jax.Array
+    ratio: jax.Array
+    constant: jax.Array
+    impulse: jax.Array          # (J,)
+
+
+@_pytree
+class Joints:
+    """Container of all typed joint blocks (capacities may be zero)."""
+    revolute: RevoluteJoints
+    distance: DistanceJoints
+    prismatic: PrismaticJoints
+    mouse: MouseJoints
+    weld: WeldJoints
+    friction: FrictionJoints
+    rope: RopeJoints
+    motor: MotorJoints
+    wheel: WheelJoints
+    pulley: PulleyJoints
+    gear: GearJoints
