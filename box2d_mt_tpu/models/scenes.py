@@ -1,0 +1,122 @@
+"""Scene zoo: canonical reference workloads rebuilt on the TPU API.
+
+Each function returns a frozen State (plus step kwargs where the reference
+scene uses non-default iteration counts). Sources cited per scene.
+"""
+
+from .. import settings, shapes
+from ..world import WorldBuilder
+
+
+def hello_world():
+    """HelloWorld.cpp:28-81 — ground box + one falling dynamic box."""
+    wb = WorldBuilder(gravity=(0.0, -10.0))
+    ground = wb.create_body(position=(0.0, -10.0))
+    wb.create_fixture(ground, shapes.Polygon.box(50.0, 10.0))
+    body = wb.create_body(body_type=settings.DYNAMIC_BODY, position=(0.0, 4.0))
+    wb.create_fixture(body, shapes.Polygon.box(1.0, 1.0), density=1.0,
+                      friction=0.3)
+    return wb.freeze()
+
+
+def falling_circle():
+    """Golden scene: restitution-heavy circle drop (tools golden.cpp)."""
+    wb = WorldBuilder(gravity=(0.0, -10.0))
+    ground = wb.create_body(position=(0.0, -10.0))
+    wb.create_fixture(ground, shapes.Polygon.box(50.0, 10.0))
+    body = wb.create_body(body_type=settings.DYNAMIC_BODY, position=(0.0, 4.0))
+    wb.create_fixture(body, shapes.Circle(0.5), density=1.0, friction=0.3,
+                      restitution=0.5)
+    return wb.freeze()
+
+
+def vertical_stack(n=5):
+    """Testbed/Tests/VerticalStack.h — boxes stacked on an edge ground."""
+    wb = WorldBuilder(gravity=(0.0, -10.0))
+    ground = wb.create_body()
+    wb.create_fixture(ground, shapes.Edge((-40.0, 0.0), (40.0, 0.0)))
+    for i in range(n):
+        b = wb.create_body(body_type=settings.DYNAMIC_BODY,
+                           position=(0.0, 0.502 + 1.01 * i))
+        wb.create_fixture(b, shapes.Polygon.box(0.5, 0.5), density=1.0,
+                          friction=0.3)
+    return wb.freeze()
+
+
+def pyramid(rows=10):
+    """Testbed/Tests/Pyramid.h — the classic stacking benchmark."""
+    wb = WorldBuilder(gravity=(0.0, -10.0))
+    ground = wb.create_body()
+    wb.create_fixture(ground, shapes.Edge((-40.0, 0.0), (40.0, 0.0)))
+    box = shapes.Polygon.box(0.5, 0.5)
+    x = (-7.0, 0.75)
+    dx = (0.5625, 1.25)
+    dy = (1.125, 0.0)
+    for i in range(rows):
+        y = x
+        for j in range(i, rows):
+            b = wb.create_body(body_type=settings.DYNAMIC_BODY, position=y)
+            wb.create_fixture(b, box, density=5.0)
+            y = (y[0] + dy[0], y[1] + dy[1])
+        x = (x[0] + dx[0], x[1] + dx[1])
+    return wb.freeze()
+
+
+def revolute_pendulum():
+    """Golden scene: box swinging on a revolute joint (golden.cpp)."""
+    wb = WorldBuilder(gravity=(0.0, -10.0))
+    ground = wb.create_body()
+    body = wb.create_body(body_type=settings.DYNAMIC_BODY, position=(3.0, 10.0))
+    wb.create_fixture(body, shapes.Polygon.box(0.5, 0.5), density=5.0)
+    wb.create_revolute_joint(ground, body, (0.0, 10.0))
+    return wb.freeze()
+
+
+def distance_pendulum():
+    """Golden scene: circle on a rigid distance joint (golden.cpp)."""
+    wb = WorldBuilder(gravity=(0.0, -10.0))
+    ground = wb.create_body()
+    body = wb.create_body(body_type=settings.DYNAMIC_BODY, position=(2.0, 8.0))
+    wb.create_fixture(body, shapes.Circle(0.5), density=1.0)
+    wb.create_distance_joint(ground, body, (0.0, 10.0), (2.0, 8.0))
+    return wb.freeze()
+
+
+def prismatic_slide():
+    """Golden scene: motorized prismatic slider with limits (golden.cpp)."""
+    import math
+    wb = WorldBuilder(gravity=(0.0, -10.0))
+    ground = wb.create_body()
+    body = wb.create_body(body_type=settings.DYNAMIC_BODY,
+                          position=(0.0, 10.0), angle=0.5)
+    wb.create_fixture(body, shapes.Polygon.box(2.0, 0.5), density=5.0)
+    n = math.sqrt(5.0)
+    wb.create_prismatic_joint(
+        ground, body, (0.0, 10.0), (2.0 / n, 1.0 / n),
+        enable_motor=True, motor_speed=1.0, max_motor_force=100.0,
+        enable_limit=True, lower_translation=-5.0, upper_translation=5.0)
+    return wb.freeze()
+
+
+def tumbler(n_boxes=200):
+    """Testbed/Tests/Tumbler.h — kinematic-ish rotating container full of
+    boxes (driven here by a revolute motor on a dynamic container)."""
+    wb = WorldBuilder(gravity=(0.0, -10.0))
+    ground = wb.create_body()
+    container = wb.create_body(body_type=settings.DYNAMIC_BODY,
+                               position=(0.0, 10.0), allow_sleep=False)
+    box = shapes.Polygon.box
+    wb.create_fixture(container, box(0.5, 10.0, (10.0, 0.0), 0.0), density=5.0)
+    wb.create_fixture(container, box(0.5, 10.0, (-10.0, 0.0), 0.0), density=5.0)
+    wb.create_fixture(container, box(10.0, 0.5, (0.0, 10.0), 0.0), density=5.0)
+    wb.create_fixture(container, box(10.0, 0.5, (0.0, -10.0), 0.0), density=5.0)
+    wb.create_revolute_joint(ground, container, (0.0, 10.0),
+                             enable_motor=True, motor_speed=0.05 * 3.14159265,
+                             max_motor_torque=1e8)
+    import random
+    rng = random.Random(42)
+    for i in range(n_boxes):
+        b = wb.create_body(body_type=settings.DYNAMIC_BODY,
+                           position=(rng.uniform(-5, 5), 10.0 + rng.uniform(-5, 5)))
+        wb.create_fixture(b, box(0.125, 0.125), density=1.0)
+    return wb.freeze()

@@ -1,0 +1,97 @@
+"""Island discovery, awake propagation, and sleep management.
+
+Replaces the reference's island DFS (b2World::Solve traversal,
+b2World.cpp:1207-1330) with label propagation + pointer jumping over the
+constraint edge list — O(E) work per round, fixed round count, fully
+vectorized. Islands connect *non-static* bodies through touching non-sensor
+contacts and joints; static bodies do not merge islands (the DFS "doesn't
+cross static bodies").
+
+Semantics preserved:
+  * any body connected to an awake body wakes (the DFS calls SetAwake(true)
+    on every body it pulls into an island);
+  * an island falls asleep only when every member's sleep timer exceeds
+    TIME_TO_SLEEP and its position constraints converged
+    (b2Island.cpp:355-395).
+"""
+
+import jax
+import jax.numpy as jnp
+
+from .. import settings
+
+
+def island_labels(n_bodies: int, edges_a, edges_b, edge_active, body_connectable,
+                  rounds: int = settings.ISLAND_ROUNDS):
+    """Connected-component labels over non-static bodies.
+
+    edges_a/b: (E,) i32 endpoint body slots of constraints (contacts+joints).
+    edge_active: (E,) bool.
+    body_connectable: (N,) bool — non-static existing bodies.
+    Returns (N,) i32 labels; unconnectable bodies keep their own index.
+    """
+    labels = jnp.arange(n_bodies, dtype=jnp.int32)
+    # an edge links its endpoints only if both are connectable (non-static)
+    link = edge_active & body_connectable[jnp.clip(edges_a, 0, n_bodies - 1)] \
+        & body_connectable[jnp.clip(edges_b, 0, n_bodies - 1)]
+    ea = jnp.where(link, edges_a, 0)
+    eb = jnp.where(link, edges_b, 0)
+
+    def body(_, labels):
+        la = labels[ea]
+        lb = labels[eb]
+        m = jnp.minimum(la, lb)
+        new = labels.at[ea].min(jnp.where(link, m, BIGI))
+        new = new.at[eb].min(jnp.where(link, m, BIGI))
+        # pointer jumping doubles propagation reach per round
+        new = new[new]
+        new = new[new]
+        return new
+
+    return jax.lax.fori_loop(0, rounds, body, labels)
+
+
+BIGI = jnp.iinfo(jnp.int32).max
+
+
+def propagate_awake(awake, labels, body_dynamic_or_kinematic):
+    """Island-wide wake: if any member is awake, all are
+    (b2World.cpp island traversal SetAwake)."""
+    n = awake.shape[0]
+    island_awake = jnp.zeros(n, bool).at[labels].max(awake & body_dynamic_or_kinematic)
+    return jnp.where(body_dynamic_or_kinematic, island_awake[labels], awake)
+
+
+def update_sleep(bodies, labels, island_converged_by_label, dt, allow_sleep_world: bool):
+    """Per-body sleep timers + island-wide sleep decision
+    (b2Island::Solve sleep block, b2Island.cpp:355-395).
+
+    island_converged_by_label: (N,) bool — position solve converged for the
+    island whose label is the index (computed by the solver via segment-min).
+    Returns (awake, sleep_time).
+    """
+    lin_tol2 = settings.LINEAR_SLEEP_TOLERANCE ** 2
+    ang_tol2 = settings.ANGULAR_SLEEP_TOLERANCE ** 2
+    moving = (bodies.w * bodies.w > ang_tol2) | \
+             (bodies.v[..., 0] ** 2 + bodies.v[..., 1] ** 2 > lin_tol2)
+    non_static = bodies.exists & ~bodies.is_static
+    cant_sleep = ~bodies.allow_sleep | moving
+    sleep_time = jnp.where(
+        non_static & bodies.awake,
+        jnp.where(cant_sleep, 0.0, bodies.sleep_time + dt),
+        bodies.sleep_time,
+    )
+    if not allow_sleep_world:
+        return bodies.awake, sleep_time
+
+    n = sleep_time.shape[0]
+    # min sleep time over each island's members (awake non-static only)
+    member = non_static & bodies.awake
+    island_min = jnp.full(n, jnp.inf).at[
+        jnp.where(member, labels, n - 1)
+    ].min(jnp.where(member, sleep_time, jnp.inf))
+    island_sleeps = (island_min >= settings.TIME_TO_SLEEP) & island_converged_by_label
+    goes_to_sleep = member & island_sleeps[labels]
+    awake = jnp.where(goes_to_sleep, False, bodies.awake)
+    # sleeping bodies zero their velocities (b2Body::SetAwake(false))
+    return awake, sleep_time

@@ -1,0 +1,57 @@
+"""Multi-world batching and device-mesh sharding.
+
+The reference's entire scale-out story is one process + ≤8 threads
+(Box2D/MT/b2ThreadPool.cpp). The TPU-native story is orthogonal and far
+wider: `vmap(step)` batches thousands of independent worlds into one fused
+program on one chip, and sharding the world axis over a `jax.sharding.Mesh`
+scales across chips with zero inter-world communication (embarrassingly
+parallel — no collectives on the hot path, so ICI/DCN only carry program
+dispatch).
+
+Typical RL/datagen use: 4096 worlds sharded over an 8-chip v5e pod slice.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..world import step
+
+
+def batch_states(states):
+    """Stack host-built States (same capacities) into one batched State."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *states)
+
+
+def replicate_state(state, n: int):
+    """Tile one world n times along a new leading axis."""
+    return jax.tree.map(lambda x: jnp.broadcast_to(x[None], (n,) + x.shape), state)
+
+
+def make_batched_step(**step_kwargs):
+    """vmap(step) over the leading world axis; jitted."""
+    def _step(states, dt):
+        return jax.vmap(lambda s: step(s, dt, **step_kwargs))(states)
+    return jax.jit(_step)
+
+
+def make_sharded_step(mesh: Mesh, axis: str = "worlds", **step_kwargs):
+    """Shard the world axis of a batched State over `mesh` and return a
+    jitted step. Worlds are independent, so XLA partitions the whole
+    program with no collectives."""
+    sharding = NamedSharding(mesh, P(axis))
+
+    def shard_state(states):
+        """Place a batched State with the world axis split over the mesh."""
+        return jax.device_put(states, sharding)
+
+    batched = make_batched_step(**step_kwargs)
+
+    @jax.jit
+    def _step(states, dt):
+        states = jax.lax.with_sharding_constraint(states, sharding)
+        return batched(states, dt)
+
+    return _step, shard_state

@@ -222,6 +222,7 @@ class RevoluteJoints:
     max_motor_torque: jax.Array
     impulse: jax.Array          # (J,3) persistent (x, y, angular)
     motor_impulse: jax.Array    # (J,)
+    limit_state: jax.Array      # (J,) i32 persistent (b2Joint.h:77-84)
 
 
 @_pytree
@@ -258,6 +259,7 @@ class PrismaticJoints:
     max_motor_force: jax.Array
     impulse: jax.Array          # (J,3)
     motor_impulse: jax.Array
+    limit_state: jax.Array      # (J,) i32 persistent
 
 
 @_pytree

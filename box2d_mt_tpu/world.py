@@ -1,0 +1,626 @@
+"""World construction and the fused step program.
+
+`WorldBuilder` mirrors the reference's construction API (b2World::CreateBody,
+b2Body::CreateFixture, b2World::CreateJoint — b2World.cpp:549-832) on the
+host, then `freeze()` packs everything into the immutable `State` pytree.
+
+`step(state, dt, ...)` is the TPU-native equivalent of b2World::Step
+(b2World.cpp:1613-1710): one pure function tracing to a single fused XLA
+program — no host round-trips, no callbacks. Phase order preserved:
+
+  1. Collide: narrow-phase manifolds for the persistent pair set, warm-start
+     impulse matching by feature id, touch transitions wake bodies
+     (b2ContactManager::Collide + b2Contact::Update).
+  2. Solve: island labels + awake propagation, velocity integration,
+     constraint coloring, warm start, velocity iterations (joints then
+     contacts), position NGS, sleep (b2World::Solve + b2Island::Solve).
+  3. Synchronize + pair update: swept fat AABBs with move hysteresis, new
+     canonical pair table, warm-start carry-over
+     (b2ContactManager::SynchronizeFixtures + FindNewContacts).
+
+Events (begin/end touch) come out as arrays, replacing listener callbacks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from . import settings, shapes
+from .math2d import rot_from_angle, rot_vec
+from .state import (Bodies, Contacts, Fixtures, Joints, State)
+from .joints import make_empty_joints, joints_present, build_joint_arrays
+from .ops import broadphase, coloring, islands, integrate
+from .ops import narrowphase as nph
+from .ops import solver as csolver
+
+
+class Events(NamedTuple):
+    """Per-step outputs replacing b2ContactListener callbacks
+    (b2WorldCallbacks.h:96-173)."""
+    begin_touch: jax.Array    # (C,) bool — BeginContact analog
+    end_touch: jax.Array      # (C,) bool — EndContact analog
+    f_a: jax.Array            # (C,) i32 pair fixtures the masks refer to
+    f_b: jax.Array
+    pair_overflow: jax.Array  # () i32 — pairs dropped by capacity
+    color_overflow: jax.Array  # () i32 — constraints past MAX_COLORS-1
+
+
+# --------------------------------------------------------------------------
+# step
+# --------------------------------------------------------------------------
+
+
+def _gather_rows(fx: Fixtures, idx) -> nph.ShapeRows:
+    return nph.ShapeRows(
+        verts=fx.verts[idx], normals=fx.normals[idx], nverts=fx.nverts[idx],
+        ghosts=fx.ghosts[idx], radius=fx.radius[idx])
+
+
+def _body_xf(bodies: Bodies):
+    q = rot_from_angle(bodies.a)
+    p = bodies.c - rot_vec(q, bodies.local_center)
+    return p, q
+
+
+@partial(jax.jit, static_argnames=(
+    "velocity_iterations", "position_iterations", "warm_starting",
+    "allow_sleep", "max_colors"))
+def step(state: State, dt, velocity_iterations: int = 8,
+         position_iterations: int = 3, warm_starting: bool = True,
+         allow_sleep: bool = True, max_colors: int = settings.MAX_COLORS
+         ) -> Tuple[State, Events]:
+    bodies = state.bodies
+    fx = state.fixtures
+    contacts = state.contacts
+    nb = bodies.capacity
+    nf = fx.capacity
+    dt = jnp.asarray(dt, jnp.float32)
+
+    # ---------------------------------------------------------- 1. Collide
+    ia = jnp.clip(contacts.f_a, 0)
+    ib = jnp.clip(contacts.f_b, 0)
+    ba = jnp.clip(fx.body[ia], 0)
+    bb = jnp.clip(fx.body[ib], 0)
+    pair_exists = contacts.f_a >= 0
+
+    p_all, q_all = _body_xf(bodies)
+    rows_a = _gather_rows(fx, ia)
+    rows_b = _gather_rows(fx, ib)
+    kind = nph.contact_kind(fx.shape_type[ia], fx.shape_type[ib])
+    manifold = jax.vmap(nph.collide)(
+        kind, rows_a, p_all[ba], q_all[ba], rows_b, p_all[bb], q_all[bb])
+
+    sensor = fx.is_sensor[ia] | fx.is_sensor[ib]
+    touching = pair_exists & (manifold.count > 0)
+    # sensors don't generate manifolds (b2Contact.cpp:199-205); overlap for
+    # sensor touch reporting is approximated by the manifold test for now.
+    m_count = jnp.where(sensor, 0, manifold.count)
+
+    # warm-start impulse matching by feature id (b2Contact.cpp:210-230)
+    new_valid = jnp.arange(2)[None, :] < manifold.count[:, None]
+    old_valid = jnp.arange(2)[None, :] < contacts.m_count[:, None]
+    same = (manifold.ids[:, :, None] == contacts.m_ids[:, None, :]) \
+        & new_valid[:, :, None] & old_valid[:, None, :]
+    match0 = same[:, :, 0]
+    match1 = same[:, :, 1] & ~match0
+    ni = jnp.where(match0, contacts.normal_impulse[:, 0:1],
+                   jnp.where(match1, contacts.normal_impulse[:, 1:2], 0.0))
+    ti = jnp.where(match0, contacts.tangent_impulse[:, 0:1],
+                   jnp.where(match1, contacts.tangent_impulse[:, 1:2], 0.0))
+
+    # touch transitions wake both bodies (non-sensor)
+    changed = pair_exists & ~sensor & (touching != contacts.touching)
+    awake = bodies.awake
+    awake = awake.at[jnp.where(changed, ba, nb - 1)].max(changed)
+    awake = awake.at[jnp.where(changed, bb, nb - 1)].max(changed)
+    begin_touch = pair_exists & touching & ~contacts.touching
+    end_touch = pair_exists & ~touching & contacts.touching
+
+    contacts = dataclasses.replace(
+        contacts,
+        m_type=manifold.mtype, m_local_point=manifold.local_point,
+        m_local_normal=manifold.local_normal, m_points=manifold.points,
+        m_ids=manifold.ids, m_count=m_count,
+        normal_impulse=ni, tangent_impulse=ti, touching=touching)
+
+    # ------------------------------------------------------------ 2. Solve
+    non_static = bodies.exists & ~bodies.is_static & bodies.enabled
+    dyn = bodies.is_dynamic & bodies.enabled
+
+    solvable_contact = touching & ~sensor & pair_exists
+    jb_a, jb_b, j_active = build_joint_arrays(state.joints)
+    if jb_a is not None:
+        edges_a = jnp.concatenate([ba, jb_a])
+        edges_b = jnp.concatenate([bb, jb_b])
+        edges_on = jnp.concatenate([solvable_contact, j_active])
+    else:
+        edges_a, edges_b, edges_on = ba, bb, solvable_contact
+    labels = islands.island_labels(nb, edges_a, edges_b, edges_on, non_static)
+
+    awake = islands.propagate_awake(awake, labels, non_static)
+
+    solve_mask = awake & non_static
+    # sweep start for CCD / broad-phase sweep (b2Island.cpp:203-207)
+    c0 = jnp.where(solve_mask[:, None], bodies.c, bodies.c0)
+    a0 = jnp.where(solve_mask, bodies.a, bodies.a0)
+
+    v, w = integrate.integrate_velocities(
+        dataclasses.replace(bodies, awake=awake), state.gravity, dt, solve_mask)
+
+    cc_active = solvable_contact & ((dyn[ba] & awake[ba]) | (dyn[bb] & awake[bb]))
+    conflict_a = dyn[ba]
+    conflict_b = dyn[bb]
+    color, color_overflow = coloring.color_constraints(
+        ba, bb, conflict_a, conflict_b, cc_active, nb, max_colors)
+
+    cc = csolver.init_contact_constraints(
+        contacts, fx, bodies, bodies.c, bodies.a, v, w, cc_active)
+
+    dt_ratio = jnp.where(dt > 0, state.inv_dt0 * dt, 0.0)
+    if warm_starting:
+        ni_it = dt_ratio * contacts.normal_impulse
+        ti_it = dt_ratio * contacts.tangent_impulse
+        v, w = csolver.warm_start(cc, ni_it, ti_it, v, w)
+    else:
+        ni_it = jnp.zeros_like(contacts.normal_impulse)
+        ti_it = jnp.zeros_like(contacts.tangent_impulse)
+
+    have_joints = joints_present(state.joints)
+    if have_joints:
+        from .joints import init_joints, warm_start_joints, solve_joint_velocity, solve_joint_position, store_joint_impulses
+        jdata, jstate = init_joints(state.joints, bodies, awake, v, w, dt,
+                                    dt_ratio, warm_starting, nb, max_colors)
+        v, w = warm_start_joints(jdata, jstate, v, w)
+    else:
+        jdata = jstate = None
+
+    def vel_iter(_, carry):
+        ni_it, ti_it, v, w, jstate = carry
+        if have_joints:
+            jstate, v, w = solve_joint_velocity(jdata, jstate, v, w, dt, max_colors)
+
+        def color_pass(ci, inner):
+            ni_it, ti_it, v, w = inner
+            return csolver.solve_velocity_color(cc, ni_it, ti_it, v, w,
+                                                color == ci)
+
+        ni_it, ti_it, v, w = jax.lax.fori_loop(
+            0, max_colors, color_pass, (ni_it, ti_it, v, w))
+        return ni_it, ti_it, v, w, jstate
+
+    ni_it, ti_it, v, w, jstate = jax.lax.fori_loop(
+        0, velocity_iterations, vel_iter, (ni_it, ti_it, v, w, jstate))
+
+    contacts = dataclasses.replace(
+        contacts, normal_impulse=ni_it, tangent_impulse=ti_it)
+
+    c, a, v, w = integrate.integrate_positions(
+        bodies.c, bodies.a, v, w, dt, solve_mask)
+
+    def pos_iter(_, carry):
+        c, a, min_sep, jok = carry
+
+        def color_pass(ci, inner):
+            c, a, min_sep = inner
+            c, a, ms = csolver.solve_position_color(
+                cc, c, a, color == ci, settings.BAUMGARTE,
+                settings.MAX_LINEAR_CORRECTION)
+            return c, a, jnp.minimum(min_sep, ms)
+
+        c, a, min_sep = jax.lax.fori_loop(
+            0, max_colors, color_pass,
+            (c, a, jnp.zeros_like(min_sep)))
+        if have_joints:
+            c, a, jok = solve_joint_position(jdata, jstate, c, a, max_colors)
+        return c, a, min_sep, jok
+
+    min_sep0 = jnp.zeros(contacts.capacity, jnp.float32)
+    jok0 = jnp.ones(nb, bool)
+    c, a, min_sep, jok = jax.lax.fori_loop(
+        0, position_iterations, pos_iter, (c, a, min_sep0, jok0))
+
+    if have_joints:
+        joints_new = store_joint_impulses(state.joints, jstate)
+    else:
+        joints_new = state.joints
+
+    # per-island convergence for sleep (positionSolved analog)
+    contact_ok = min_sep >= -3.0 * settings.LINEAR_SLOP
+    c_label = labels[jnp.where(non_static[ba], ba, bb)]
+    island_ok = jnp.ones(nb, bool).at[
+        jnp.where(cc_active, c_label, nb - 1)
+    ].min(jnp.where(cc_active, contact_ok, True))
+    island_ok &= jnp.ones(nb, bool).at[labels].min(jok)
+
+    bodies = dataclasses.replace(
+        bodies, c=c, a=a, c0=c0, a0=a0, v=v, w=w, awake=awake,
+        force=jnp.zeros_like(bodies.force), torque=jnp.zeros_like(bodies.torque))
+
+    new_awake, sleep_time = islands.update_sleep(
+        bodies, labels, island_ok, dt, allow_sleep)
+    fell_asleep = bodies.awake & ~new_awake
+    bodies = dataclasses.replace(
+        bodies, awake=new_awake, sleep_time=sleep_time,
+        v=jnp.where(fell_asleep[:, None], 0.0, bodies.v),
+        w=jnp.where(fell_asleep, 0.0, bodies.w))
+
+    # --------------------------------------- 3. Synchronize + pair update
+    p0, q0 = _body_xf(dataclasses.replace(bodies, c=c0, a=a0))
+    p1, q1 = _body_xf(bodies)
+    fb = jnp.clip(fx.body, 0)
+    aabb_lo, aabb_hi, _ = broadphase.synchronize(
+        fx, p0[fb], q0[fb], p1[fb], q1[fb])
+    fx = dataclasses.replace(fx, aabb_lo=aabb_lo, aabb_hi=aabb_hi)
+
+    state_mid = dataclasses.replace(state, bodies=bodies, fixtures=fx,
+                                    contacts=contacts, joints=joints_new)
+    f_a, f_b, pair_overflow = broadphase.find_pairs_allpairs(
+        state_mid, contacts.capacity)
+    contacts = broadphase.carry_over_contacts(contacts, f_a, f_b, nf)
+
+    inv_dt0 = jnp.where(dt > 0, 1.0 / jnp.where(dt > 0, dt, 1.0), state.inv_dt0)
+    new_state = dataclasses.replace(
+        state_mid, contacts=contacts, inv_dt0=inv_dt0)
+    events = Events(
+        begin_touch=begin_touch, end_touch=end_touch,
+        f_a=state.contacts.f_a, f_b=state.contacts.f_b,
+        pair_overflow=pair_overflow.astype(jnp.int32),
+        color_overflow=color_overflow.astype(jnp.int32))
+    return new_state, events
+
+
+# --------------------------------------------------------------------------
+# host-side builder
+# --------------------------------------------------------------------------
+
+
+def _next_pow2(n):
+    return max(8, 1 << (int(n - 1)).bit_length()) if n > 0 else 8
+
+
+@dataclasses.dataclass
+class _BodyDef:
+    body_type: int
+    position: Tuple[float, float]
+    angle: float
+    linear_velocity: Tuple[float, float]
+    angular_velocity: float
+    linear_damping: float
+    angular_damping: float
+    allow_sleep: bool
+    awake: bool
+    fixed_rotation: bool
+    bullet: bool
+    enabled: bool
+    gravity_scale: float
+
+
+@dataclasses.dataclass
+class _FixtureDef:
+    body: int
+    shape: object
+    density: float
+    friction: float
+    restitution: float
+    is_sensor: bool
+    filter_category: int
+    filter_mask: int
+    filter_group: int
+    thick_shape: bool
+
+
+class WorldBuilder:
+    """Host-side world construction; `freeze()` yields the device State."""
+
+    def __init__(self, gravity=(0.0, -10.0)):
+        self.gravity = tuple(gravity)
+        self._bodies: list = []
+        self._fixtures: list = []
+        self._joints: dict = {}   # name -> list of dicts
+
+    # -- bodies ------------------------------------------------------------
+    def create_body(self, body_type=settings.STATIC_BODY, position=(0.0, 0.0),
+                    angle=0.0, linear_velocity=(0.0, 0.0), angular_velocity=0.0,
+                    linear_damping=0.0, angular_damping=0.0, allow_sleep=True,
+                    awake=True, fixed_rotation=False, bullet=False,
+                    enabled=True, gravity_scale=1.0) -> int:
+        self._bodies.append(_BodyDef(
+            body_type, tuple(position), angle, tuple(linear_velocity),
+            angular_velocity, linear_damping, angular_damping, allow_sleep,
+            awake, fixed_rotation, bullet, enabled, gravity_scale))
+        return len(self._bodies) - 1
+
+    # -- fixtures ----------------------------------------------------------
+    def create_fixture(self, body: int, shape, density=0.0, friction=0.2,
+                       restitution=0.0, is_sensor=False, filter_category=1,
+                       filter_mask=0xFFFF, filter_group=0,
+                       thick_shape=False):
+        """Returns the fixture index (first child index for chains)."""
+        first = len(self._fixtures)
+        children = shape.children() if isinstance(shape, shapes.Chain) else [shape]
+        for child in children:
+            self._fixtures.append(_FixtureDef(
+                body, child, density, friction, restitution, is_sensor,
+                filter_category, filter_mask, filter_group, thick_shape))
+        return first
+
+    # -- joints ------------------------------------------------------------
+    def _add_joint(self, kind: str, **kw) -> int:
+        lst = self._joints.setdefault(kind, [])
+        lst.append(kw)
+        return len(lst) - 1
+
+    def create_revolute_joint(self, body_a, body_b, anchor, *,
+                              collide_connected=False, enable_limit=False,
+                              lower_angle=0.0, upper_angle=0.0,
+                              enable_motor=False, motor_speed=0.0,
+                              max_motor_torque=0.0, reference_angle=None):
+        """b2RevoluteJointDef::Initialize (world anchor)."""
+        la = self._to_local(body_a, anchor)
+        lb = self._to_local(body_b, anchor)
+        if reference_angle is None:
+            reference_angle = self._bodies[body_b].angle - self._bodies[body_a].angle
+        return self._add_joint(
+            "revolute", body_a=body_a, body_b=body_b, local_anchor_a=la,
+            local_anchor_b=lb, reference_angle=reference_angle,
+            collide_connected=collide_connected, enable_limit=enable_limit,
+            lower_angle=lower_angle, upper_angle=upper_angle,
+            enable_motor=enable_motor, motor_speed=motor_speed,
+            max_motor_torque=max_motor_torque)
+
+    def create_distance_joint(self, body_a, body_b, anchor_a, anchor_b, *,
+                              collide_connected=False, frequency=0.0,
+                              damping_ratio=0.0, length=None):
+        la = self._to_local(body_a, anchor_a)
+        lb = self._to_local(body_b, anchor_b)
+        if length is None:
+            length = math.dist(anchor_a, anchor_b)
+        return self._add_joint(
+            "distance", body_a=body_a, body_b=body_b, local_anchor_a=la,
+            local_anchor_b=lb, length=max(length, settings.LINEAR_SLOP),
+            frequency=frequency, damping_ratio=damping_ratio,
+            collide_connected=collide_connected)
+
+    def create_prismatic_joint(self, body_a, body_b, anchor, axis, *,
+                               collide_connected=False, enable_limit=False,
+                               lower_translation=0.0, upper_translation=0.0,
+                               enable_motor=False, motor_speed=0.0,
+                               max_motor_force=0.0, reference_angle=None):
+        la = self._to_local(body_a, anchor)
+        lb = self._to_local(body_b, anchor)
+        ax = self._to_local_vector(body_a, axis)
+        if reference_angle is None:
+            reference_angle = self._bodies[body_b].angle - self._bodies[body_a].angle
+        return self._add_joint(
+            "prismatic", body_a=body_a, body_b=body_b, local_anchor_a=la,
+            local_anchor_b=lb, local_axis_a=ax, reference_angle=reference_angle,
+            collide_connected=collide_connected, enable_limit=enable_limit,
+            lower_translation=lower_translation,
+            upper_translation=upper_translation, enable_motor=enable_motor,
+            motor_speed=motor_speed, max_motor_force=max_motor_force)
+
+    def _to_local(self, body: int, world_point):
+        b = self._bodies[body]
+        s, c = math.sin(b.angle), math.cos(b.angle)
+        dx = world_point[0] - b.position[0]
+        dy = world_point[1] - b.position[1]
+        return (c * dx + s * dy, -s * dx + c * dy)
+
+    def _to_local_vector(self, body: int, world_vec):
+        b = self._bodies[body]
+        s, c = math.sin(b.angle), math.cos(b.angle)
+        return (c * world_vec[0] + s * world_vec[1],
+                -s * world_vec[0] + c * world_vec[1])
+
+    # -- freeze ------------------------------------------------------------
+    def freeze(self, body_capacity: Optional[int] = None,
+               fixture_capacity: Optional[int] = None,
+               contact_capacity: Optional[int] = None) -> State:
+        nb = body_capacity or _next_pow2(len(self._bodies))
+        nf = fixture_capacity or _next_pow2(len(self._fixtures))
+        nc = contact_capacity or _next_pow2(max(64, 4 * len(self._fixtures)))
+        assert nb >= len(self._bodies) and nf >= len(self._fixtures)
+
+        bodies = _pack_bodies(self._bodies, self._fixtures, nb)
+        fixtures = _pack_fixtures(self._fixtures, nf)
+        contacts = _empty_contacts(nc)
+        joints = build_joints(self._joints)
+
+        state = State(
+            bodies=bodies, fixtures=fixtures, contacts=contacts,
+            joints=joints,
+            gravity=jnp.asarray(self.gravity, jnp.float32),
+            inv_dt0=jnp.float32(0.0),
+        )
+        return _init_broadphase(state)
+
+
+@jax.jit
+def _init_broadphase(state: State) -> State:
+    """Create initial fat AABBs + pair table (the construction-time
+    FindNewContacts pass, b2World.cpp:1628-1639)."""
+    p, q = _body_xf(state.bodies)
+    fb = jnp.clip(state.fixtures.body, 0)
+    lo, hi = broadphase.initial_fat_aabbs(state.fixtures, p[fb], q[fb])
+    fx = dataclasses.replace(state.fixtures, aabb_lo=lo, aabb_hi=hi)
+    state = dataclasses.replace(state, fixtures=fx)
+    f_a, f_b, _ = broadphase.find_pairs_allpairs(state, state.contacts.capacity)
+    contacts = broadphase.carry_over_contacts(state.contacts, f_a, f_b,
+                                              fx.capacity)
+    return dataclasses.replace(state, contacts=contacts)
+
+
+def _pack_bodies(defs, fixture_defs, nb) -> Bodies:
+    n = len(defs)
+    z = lambda *s: np.zeros(s, np.float32)
+    body_type = np.full(nb, -1, np.int32)
+    c = z(nb, 2); a = z(nb); local_center = z(nb, 2)
+    v = z(nb, 2); w = z(nb)
+    inv_mass = z(nb); inv_inertia = z(nb)
+    lin_damp = z(nb); ang_damp = z(nb); grav = z(nb)
+    awake = np.zeros(nb, bool); allow_sleep = np.zeros(nb, bool)
+    fixed_rot = np.zeros(nb, bool); bullet = np.zeros(nb, bool)
+    enabled = np.zeros(nb, bool)
+
+    # per-body mass data from fixtures (b2Body::ResetMassData)
+    for i, bd in enumerate(defs):
+        body_type[i] = bd.body_type
+        lin_damp[i] = bd.linear_damping
+        ang_damp[i] = bd.angular_damping
+        grav[i] = bd.gravity_scale
+        awake[i] = bd.awake
+        allow_sleep[i] = bd.allow_sleep
+        fixed_rot[i] = bd.fixed_rotation
+        bullet[i] = bd.bullet
+        enabled[i] = bd.enabled
+        a[i] = bd.angle
+
+        mass = 0.0
+        center = np.zeros(2)
+        inertia = 0.0
+        if bd.body_type == settings.DYNAMIC_BODY:
+            for fd in fixture_defs:
+                if fd.body != i or fd.density == 0.0:
+                    continue
+                md = fd.shape.compute_mass(fd.density)
+                mass += md.mass
+                center += md.mass * np.asarray(md.center)
+                inertia += md.inertia
+            if mass > 0.0:
+                center /= mass
+                inertia -= mass * float(center @ center)
+            else:
+                mass = 1.0
+                inertia = 0.0
+            if bd.fixed_rotation:
+                inertia = 0.0
+            inv_mass[i] = 1.0 / mass
+            inv_inertia[i] = 1.0 / inertia if inertia > 0.0 else 0.0
+
+        local_center[i] = center
+        s_, c_ = math.sin(bd.angle), math.cos(bd.angle)
+        world_center = (bd.position[0] + c_ * center[0] - s_ * center[1],
+                        bd.position[1] + s_ * center[0] + c_ * center[1])
+        c[i] = world_center
+        # velocity given at origin; shift to center of mass:
+        # v += cross(w, c - origin) (b2Body::ResetMassData, b2Body.cpp)
+        v[i] = (bd.linear_velocity[0] - bd.angular_velocity * (world_center[1] - bd.position[1]),
+                bd.linear_velocity[1] + bd.angular_velocity * (world_center[0] - bd.position[0]))
+        w[i] = bd.angular_velocity
+
+    return Bodies(
+        body_type=jnp.asarray(body_type),
+        c=jnp.asarray(c), a=jnp.asarray(a),
+        c0=jnp.asarray(c), a0=jnp.asarray(a),
+        alpha0=jnp.zeros(nb, jnp.float32),
+        local_center=jnp.asarray(local_center),
+        v=jnp.asarray(v), w=jnp.asarray(w),
+        force=jnp.zeros((nb, 2), jnp.float32),
+        torque=jnp.zeros(nb, jnp.float32),
+        inv_mass=jnp.asarray(inv_mass), inv_inertia=jnp.asarray(inv_inertia),
+        linear_damping=jnp.asarray(lin_damp),
+        angular_damping=jnp.asarray(ang_damp),
+        gravity_scale=jnp.asarray(grav),
+        awake=jnp.asarray(awake), allow_sleep=jnp.asarray(allow_sleep),
+        fixed_rotation=jnp.asarray(fixed_rot), bullet=jnp.asarray(bullet),
+        enabled=jnp.asarray(enabled),
+        sleep_time=jnp.zeros(nb, jnp.float32),
+    )
+
+
+def _pack_fixtures(defs, nf) -> Fixtures:
+    body = np.full(nf, -1, np.int32)
+    shape_type = np.zeros(nf, np.int32)
+    radius = np.zeros(nf, np.float32)
+    verts = np.zeros((nf, 8, 2), np.float32)
+    normals = np.zeros((nf, 8, 2), np.float32)
+    nverts = np.zeros(nf, np.int32)
+    ghosts = np.zeros((nf, 2), bool)
+    friction = np.zeros(nf, np.float32)
+    restitution = np.zeros(nf, np.float32)
+    density = np.zeros(nf, np.float32)
+    is_sensor = np.zeros(nf, bool)
+    cat = np.ones(nf, np.int32)
+    mask = np.full(nf, 0xFFFF, np.int32)
+    group = np.zeros(nf, np.int32)
+    thick = np.zeros(nf, bool)
+
+    for i, fd in enumerate(defs):
+        body[i] = fd.body
+        friction[i] = fd.friction
+        restitution[i] = fd.restitution
+        density[i] = fd.density
+        is_sensor[i] = fd.is_sensor
+        cat[i] = fd.filter_category
+        mask[i] = fd.filter_mask
+        group[i] = fd.filter_group
+        thick[i] = fd.thick_shape
+        s = fd.shape
+        if isinstance(s, shapes.Circle):
+            shape_type[i] = settings.SHAPE_CIRCLE
+            radius[i] = s.radius
+            verts[i, 0] = s.center
+            nverts[i] = 1
+        elif isinstance(s, shapes.Edge):
+            shape_type[i] = settings.SHAPE_EDGE
+            radius[i] = s.radius
+            verts[i, 0] = s.v1
+            verts[i, 1] = s.v2
+            if s.v0 is not None:
+                verts[i, 2] = s.v0
+                ghosts[i, 0] = True
+            if s.v3 is not None:
+                verts[i, 3] = s.v3
+                ghosts[i, 1] = True
+            nverts[i] = 2
+        elif isinstance(s, shapes.Polygon):
+            shape_type[i] = settings.SHAPE_POLYGON
+            radius[i] = s.radius
+            m = len(s.vertices)
+            verts[i, :m] = s.vertices
+            normals[i, :m] = s.normals
+            nverts[i] = m
+        else:
+            raise TypeError(f"unknown shape {type(s)}")
+
+    return Fixtures(
+        body=jnp.asarray(body), shape_type=jnp.asarray(shape_type),
+        radius=jnp.asarray(radius), verts=jnp.asarray(verts),
+        normals=jnp.asarray(normals), nverts=jnp.asarray(nverts),
+        ghosts=jnp.asarray(ghosts), friction=jnp.asarray(friction),
+        restitution=jnp.asarray(restitution), density=jnp.asarray(density),
+        is_sensor=jnp.asarray(is_sensor), filter_category=jnp.asarray(cat),
+        filter_mask=jnp.asarray(mask), filter_group=jnp.asarray(group),
+        thick_shape=jnp.asarray(thick),
+        aabb_lo=jnp.zeros((nf, 2), jnp.float32),
+        aabb_hi=jnp.zeros((nf, 2), jnp.float32),
+    )
+
+
+def _empty_contacts(nc) -> Contacts:
+    return Contacts(
+        f_a=jnp.full(nc, -1, jnp.int32), f_b=jnp.full(nc, -1, jnp.int32),
+        m_type=jnp.zeros(nc, jnp.int32),
+        m_local_point=jnp.zeros((nc, 2), jnp.float32),
+        m_local_normal=jnp.zeros((nc, 2), jnp.float32),
+        m_points=jnp.zeros((nc, 2, 2), jnp.float32),
+        m_ids=jnp.zeros((nc, 2), jnp.int32),
+        m_count=jnp.zeros(nc, jnp.int32),
+        normal_impulse=jnp.zeros((nc, 2), jnp.float32),
+        tangent_impulse=jnp.zeros((nc, 2), jnp.float32),
+        touching=jnp.zeros(nc, bool),
+        toi_count=jnp.zeros(nc, jnp.int32),
+    )
+
+
+def build_joints(joint_defs: dict) -> Joints:
+    from .joints import build_joints as _bj
+    return _bj(joint_defs)
