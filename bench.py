@@ -27,29 +27,28 @@ def main():
     n_steps = int(os.environ.get("BENCH_STEPS", "60"))
 
     from box2d_mt_tpu.models import scenes
-    from box2d_mt_tpu.parallel.sharding import make_batched_step, replicate_state
+    from box2d_mt_tpu.parallel.sharding import make_rollout, replicate_state
 
     state = scenes.pyramid(rows)
     n_bodies = int(jnp.sum(state.bodies.body_type >= 0))
     batched = replicate_state(state, n_worlds)
-    step_fn = make_batched_step(velocity_iterations=8, position_iterations=3)
-
+    max_colors = int(os.environ.get("BENCH_COLORS", "16"))
     dt = jnp.float32(1 / 60)
 
-    def run(states, steps):
-        for _ in range(steps):
-            states, _ = step_fn(states, dt)
-        return states
+    # lax.scan rollout: the whole n-step run is ONE program (no per-step
+    # dispatch); this is how production rollouts should drive the engine.
+    roll = make_rollout(n_steps, velocity_iterations=8, position_iterations=3,
+                        max_colors=max_colors)
 
-    # compile + warmup
     t0 = time.perf_counter()
-    out = step_fn(batched, dt)[0]
+    out = roll(batched, dt)
     jax.block_until_ready(out.bodies.c)
     compile_s = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    out = run(batched, n_steps)
-    jax.block_until_ready(out.bodies.c)
+    out = roll(batched, dt)
+    import numpy as _np
+    _np.asarray(out.bodies.c)     # host fetch guarantees completion
     elapsed = time.perf_counter() - t0
 
     worlds_steps_per_sec = n_worlds * n_steps / elapsed

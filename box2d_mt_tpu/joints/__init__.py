@@ -133,7 +133,7 @@ _BLOCK_NAMES = ("revolute", "distance", "prismatic", "mouse", "weld",
 
 
 def joints_present(joints: st.Joints) -> bool:
-    return any(getattr(joints, n).body_a.shape[0] > 0 for n in _BLOCK_NAMES)
+    return any(getattr(joints, n).body_a.shape[-1] > 0 for n in _BLOCK_NAMES)
 
 
 def build_joint_arrays(joints: st.Joints):

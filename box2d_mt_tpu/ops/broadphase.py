@@ -92,15 +92,13 @@ def _forbidden_joint_keys(state: State, nf: int):
     return jnp.sort(jnp.concatenate(keys))
 
 
-def should_collide_filters(fx: Fixtures, i, j):
+def should_collide_filters(group_i, group_j, cat_i, cat_j, mask_i, mask_j):
     """b2ContactFilter::ShouldCollide default implementation
-    (b2WorldCallbacks.cpp): group overrides category/mask."""
-    gi = fx.filter_group[i]
-    gj = fx.filter_group[j]
-    same_group = (gi == gj) & (gi != 0)
-    group_ok = gi > 0
-    mask_ok = ((fx.filter_category[i] & fx.filter_mask[j]) != 0) & \
-              ((fx.filter_category[j] & fx.filter_mask[i]) != 0)
+    (b2WorldCallbacks.cpp): group overrides category/mask. Operates on
+    broadcast-ready arrays (no gathers)."""
+    same_group = (group_i == group_j) & (group_i != 0)
+    group_ok = group_i > 0
+    mask_ok = ((cat_i & mask_j) != 0) & ((cat_j & mask_i) != 0)
     return jnp.where(same_group, group_ok, mask_ok)
 
 
@@ -147,15 +145,16 @@ def find_pairs_allpairs(state: State, capacity: int):
     forbidden = jkeys[jnp.clip(idx, 0, jkeys.shape[0] - 1)] == bkey
     pair_ok &= ~forbidden
 
-    # category/mask/group filter
-    fi = jnp.broadcast_to(ii[:, None], (nf, nf))
-    fj = jnp.broadcast_to(ii[None, :], (nf, nf))
-    pair_ok &= should_collide_filters(fx, fi, fj)
+    # category/mask/group filter (pure broadcasting, no gathers)
+    pair_ok &= should_collide_filters(
+        fx.filter_group[:, None], fx.filter_group[None, :],
+        fx.filter_category[:, None], fx.filter_category[None, :],
+        fx.filter_mask[:, None], fx.filter_mask[None, :])
 
     # edge-edge (and any unregistered kind): no contact is ever created
     from .narrowphase import contact_kind
-    ti = fx.shape_type[fi]
-    tj = fx.shape_type[fj]
+    ti = fx.shape_type[:, None]
+    tj = fx.shape_type[None, :]
     swap = needs_swap(ti, tj)
     ta = jnp.where(swap, tj, ti)
     tb = jnp.where(swap, ti, tj)

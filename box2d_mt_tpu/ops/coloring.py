@@ -25,6 +25,8 @@ gracefully to Jacobi averaging (overflow is reported for diagnostics).
 import jax
 import jax.numpy as jnp
 
+from .gather import gather_scalar, scatter_min_scalar
+
 BIG = jnp.iinfo(jnp.int32).max
 
 
@@ -43,19 +45,20 @@ def color_constraints(body_a, body_b, conflict_a, conflict_b, active,
     color = jnp.full(k, -1, jnp.int32)
     remaining = active
 
+    # packed endpoint indices: one scatter-min + one gather per round
+    # (slot n_bodies is a dump target for non-conflicting endpoints)
+    idx2 = jnp.concatenate([jnp.where(conflict_a, body_a, n_bodies),
+                            jnp.where(conflict_b, body_b, n_bodies)])
+    conflict2 = jnp.concatenate([conflict_a, conflict_b])
+
     def round_body(c, carry):
         color, remaining = carry
         key = jnp.where(remaining, prio, BIG)
-        # extra slot n_bodies is a dump target for non-conflicting endpoints
-        slot_a = jnp.full(n_bodies + 1, BIG, jnp.int32).at[
-            jnp.where(conflict_a, body_a, n_bodies)
-        ].min(jnp.where(conflict_a, key, BIG))
-        slot_b = jnp.full(n_bodies + 1, BIG, jnp.int32).at[
-            jnp.where(conflict_b, body_b, n_bodies)
-        ].min(jnp.where(conflict_b, key, BIG))
-        slot = jnp.minimum(slot_a, slot_b)
-        win_a = ~conflict_a | (slot[jnp.clip(body_a, 0, n_bodies - 1)] == prio)
-        win_b = ~conflict_b | (slot[jnp.clip(body_b, 0, n_bodies - 1)] == prio)
+        key2 = jnp.where(conflict2, jnp.concatenate([key, key]), BIG)
+        slot = scatter_min_scalar(n_bodies + 1, idx2, key2, BIG)
+        g = gather_scalar(slot, jnp.clip(idx2, 0, n_bodies - 1))
+        win_a = ~conflict_a | (g[:k] == prio)
+        win_b = ~conflict_b | (g[k:] == prio)
         winner = remaining & win_a & win_b
         color = jnp.where(winner, c, color)
         return color, remaining & ~winner

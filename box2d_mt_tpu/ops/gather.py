@@ -1,0 +1,74 @@
+"""Gather/scatter primitives tuned for TPU.
+
+XLA's native gather/scatter lower to DMA-descriptor ops with ~0.1-0.3 ms
+fixed cost per op on TPU — ruinous for a solver that runs hundreds of small
+indexed reads/writes per step. For the fixed-capacity arrays of this engine
+(bodies N, contacts C in the hundreds-to-thousands) a one-hot
+compare-broadcast-reduce is far cheaper: it compiles to a single fused
+VPU/MXU op with ~20-40 us overhead and perfect vectorization.
+
+All solver-phase indexed access goes through these helpers; each falls back
+to native gather/scatter when the (M, N) one-hot intermediate would be too
+large.
+"""
+
+import jax
+import jax.numpy as jnp
+
+# One-hot matmuls MUST run at full f32 precision: the default TPU matmul
+# precision demotes operands to bf16, which would round every gathered value
+# (positions, velocities) to 8 mantissa bits. HIGHEST keeps 1.0*x exact.
+_EXACT = jax.lax.Precision.HIGHEST
+
+# beyond this intermediate size, fall back to native gather
+ONEHOT_MAX_ELEMENTS = 1 << 22
+
+
+def _use_onehot(m, n):
+    return m * n <= ONEHOT_MAX_ELEMENTS
+
+
+def gather_rows(table, idx):
+    """table (N, K) f32, idx (M,) i32 -> (M, K)."""
+    n = table.shape[0]
+    if not _use_onehot(idx.shape[0], n):
+        return table[idx]
+    oh = (idx[:, None] == jnp.arange(n)[None, :]).astype(table.dtype)
+    return jnp.matmul(oh, table, precision=_EXACT)
+
+
+def scatter_add(target, idx, delta):
+    """target (N, K) += delta (M, K) at rows idx (M,). Duplicate indices sum."""
+    n = target.shape[0]
+    if not _use_onehot(idx.shape[0], n):
+        return target.at[idx].add(delta)
+    oh = (idx[:, None] == jnp.arange(n)[None, :]).astype(target.dtype)
+    return target + jnp.matmul(oh.T, delta, precision=_EXACT)
+
+
+def scatter_min_scalar(n, idx, vals, big):
+    """(n,) array = min of vals (M,) scattered at idx, init `big`.
+    Out-of-range idx rows are ignored."""
+    if not _use_onehot(idx.shape[0], n):
+        return jnp.full(n, big, vals.dtype).at[jnp.clip(idx, 0, n - 1)].min(
+            jnp.where((idx >= 0) & (idx < n), vals, big))
+    oh = idx[:, None] == jnp.arange(n)[None, :]
+    return jnp.min(jnp.where(oh, vals[:, None], big), axis=0)
+
+
+def scatter_max_scalar(n, idx, vals, small):
+    if not _use_onehot(idx.shape[0], n):
+        return jnp.full(n, small, vals.dtype).at[jnp.clip(idx, 0, n - 1)].max(
+            jnp.where((idx >= 0) & (idx < n), vals, small))
+    oh = idx[:, None] == jnp.arange(n)[None, :]
+    return jnp.max(jnp.where(oh, vals[:, None], small), axis=0)
+
+
+def gather_scalar(arr, idx):
+    """arr (N,), idx (M,) -> (M,)."""
+    n = arr.shape[0]
+    if not _use_onehot(idx.shape[0], n):
+        return arr[idx]
+    oh = idx[:, None] == jnp.arange(n)[None, :]
+    acc = jnp.sum(jnp.where(oh, arr[None, :].astype(jnp.float32), 0.0), axis=1)
+    return acc.astype(arr.dtype)

@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import settings
+from .gather import gather_scalar, scatter_min_scalar, scatter_max_scalar
 
 
 def island_labels(n_bodies: int, edges_a, edges_b, edge_active, body_connectable,
@@ -37,15 +38,18 @@ def island_labels(n_bodies: int, edges_a, edges_b, edge_active, body_connectable
     ea = jnp.where(link, edges_a, 0)
     eb = jnp.where(link, edges_b, 0)
 
+    e2 = jnp.concatenate([ea, eb])
+
     def body(_, labels):
-        la = labels[ea]
-        lb = labels[eb]
-        m = jnp.minimum(la, lb)
-        new = labels.at[ea].min(jnp.where(link, m, BIGI))
-        new = new.at[eb].min(jnp.where(link, m, BIGI))
+        g = gather_scalar(labels, e2)
+        m = jnp.minimum(g[: ea.shape[0]], g[ea.shape[0]:])
+        m2 = jnp.where(jnp.concatenate([link, link]),
+                       jnp.concatenate([m, m]), BIGI)
+        mins = scatter_min_scalar(n_bodies, e2, m2, BIGI)
+        new = jnp.minimum(labels, mins)
         # pointer jumping doubles propagation reach per round
-        new = new[new]
-        new = new[new]
+        new = gather_scalar(new, new)
+        new = gather_scalar(new, new)
         return new
 
     return jax.lax.fori_loop(0, rounds, body, labels)
@@ -58,8 +62,10 @@ def propagate_awake(awake, labels, body_dynamic_or_kinematic):
     """Island-wide wake: if any member is awake, all are
     (b2World.cpp island traversal SetAwake)."""
     n = awake.shape[0]
-    island_awake = jnp.zeros(n, bool).at[labels].max(awake & body_dynamic_or_kinematic)
-    return jnp.where(body_dynamic_or_kinematic, island_awake[labels], awake)
+    island_awake = scatter_max_scalar(
+        n, labels, (awake & body_dynamic_or_kinematic).astype(jnp.int32), 0) > 0
+    return jnp.where(body_dynamic_or_kinematic,
+                     gather_scalar(island_awake, labels), awake)
 
 
 def update_sleep(bodies, labels, island_converged_by_label, dt, allow_sleep_world: bool):
@@ -87,11 +93,11 @@ def update_sleep(bodies, labels, island_converged_by_label, dt, allow_sleep_worl
     n = sleep_time.shape[0]
     # min sleep time over each island's members (awake non-static only)
     member = non_static & bodies.awake
-    island_min = jnp.full(n, jnp.inf).at[
-        jnp.where(member, labels, n - 1)
-    ].min(jnp.where(member, sleep_time, jnp.inf))
+    island_min = scatter_min_scalar(
+        n, jnp.where(member, labels, n), jnp.where(member, sleep_time, jnp.inf),
+        jnp.inf)
     island_sleeps = (island_min >= settings.TIME_TO_SLEEP) & island_converged_by_label
-    goes_to_sleep = member & island_sleeps[labels]
+    goes_to_sleep = member & gather_scalar(island_sleeps, labels)
     awake = jnp.where(goes_to_sleep, False, bodies.awake)
     # sleeping bodies zero their velocities (b2Body::SetAwake(false))
     return awake, sleep_time

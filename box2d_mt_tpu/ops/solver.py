@@ -23,6 +23,7 @@ import jax.numpy as jnp
 
 from .. import settings
 from ..math2d import cross_sv, cross_vv, dot, normalize, rot_from_angle, rot_vec, transform_point
+from .gather import gather_rows, scatter_add
 
 EPS = 1.1920929e-7
 
@@ -114,33 +115,44 @@ def _gather_xf(c, a, local_center):
 def init_contact_constraints(contacts, fx, bodies, c_pos, a_pos, v, w,
                              active) -> ContactConstraints:
     """Init per-contact constraint data from current positions/velocities
-    (b2ContactSolver ctor + InitializeVelocityConstraints)."""
-    ia = jnp.clip(contacts.f_a, 0)
-    ib = jnp.clip(contacts.f_b, 0)
-    ba = jnp.clip(fx.body[ia], 0)
-    bb = jnp.clip(fx.body[ib], 0)
+    (b2ContactSolver ctor + InitializeVelocityConstraints). All per-fixture
+    and per-body reads are packed into three gathers."""
+    n_c = contacts.capacity
+    iab = jnp.concatenate([jnp.clip(contacts.f_a, 0), jnp.clip(contacts.f_b, 0)])
 
-    friction = jnp.sqrt(fx.friction[ia] * fx.friction[ib])
-    restitution = jnp.maximum(fx.restitution[ia], fx.restitution[ib])
+    fpack = jnp.stack([fx.friction, fx.restitution, fx.radius,
+                       jnp.clip(fx.body, 0).astype(jnp.float32)], axis=1)
+    fg = gather_rows(fpack, iab)                        # gather 1: (2C, 4)
+    bab = fg[:, 3].astype(jnp.int32)
+    ba, bb = bab[:n_c], bab[n_c:]
 
-    m_a = bodies.inv_mass[ba]
-    m_b = bodies.inv_mass[bb]
-    i_a = bodies.inv_inertia[ba]
-    i_b = bodies.inv_inertia[bb]
-    lc_a = bodies.local_center[ba]
-    lc_b = bodies.local_center[bb]
-    ra_shape = fx.radius[ia]
-    rb_shape = fx.radius[ib]
+    friction = jnp.sqrt(fg[:n_c, 0] * fg[n_c:, 0])
+    restitution = jnp.maximum(fg[:n_c, 1], fg[n_c:, 1])
+    ra_shape = fg[:n_c, 2]
+    rb_shape = fg[n_c:, 2]
 
-    pa, qa = jax.vmap(_gather_xf)(c_pos[ba], a_pos[ba], lc_a)
-    pb, qb = jax.vmap(_gather_xf)(c_pos[bb], a_pos[bb], lc_b)
+    bpack = jnp.concatenate([
+        bodies.inv_mass[:, None], bodies.inv_inertia[:, None],
+        bodies.local_center, c_pos, a_pos[:, None], v, w[:, None],
+    ], axis=1)                                          # (N, 10)
+    bg = gather_rows(bpack, bab)                        # gather 2: (2C, 10)
+    m_a, m_b = bg[:n_c, 0], bg[n_c:, 0]
+    i_a, i_b = bg[:n_c, 1], bg[n_c:, 1]
+    lc_a, lc_b = bg[:n_c, 2:4], bg[n_c:, 2:4]
+    ca_pos, cb_pos = bg[:n_c, 4:6], bg[n_c:, 4:6]
+    aa_pos, ab_pos = bg[:n_c, 6], bg[n_c:, 6]
+    va, vb = bg[:n_c, 7:9], bg[n_c:, 7:9]
+    wa, wb = bg[:n_c, 9], bg[n_c:, 9]
+
+    pa, qa = jax.vmap(_gather_xf)(ca_pos, aa_pos, lc_a)
+    pb, qb = jax.vmap(_gather_xf)(cb_pos, ab_pos, lc_b)
 
     normal, pts, _ = jax.vmap(world_manifold)(
         contacts.m_type, contacts.m_local_point, contacts.m_local_normal,
         contacts.m_points, contacts.m_count, pa, qa, ra_shape, pb, qb, rb_shape)
 
-    r_a = pts - c_pos[ba][:, None, :]
-    r_b = pts - c_pos[bb][:, None, :]
+    r_a = pts - ca_pos[:, None, :]
+    r_b = pts - cb_pos[:, None, :]
 
     rn_a = cross_vv(r_a, normal[:, None, :])      # (C,2)
     rn_b = cross_vv(r_b, normal[:, None, :])
@@ -153,8 +165,8 @@ def init_contact_constraints(contacts, fx, bodies, c_pos, a_pos, v, w,
     k_tangent = (m_a + m_b)[:, None] + i_a[:, None] * rt_a ** 2 + i_b[:, None] * rt_b ** 2
     tangent_mass = jnp.where(k_tangent > 0.0, 1.0 / k_tangent, 0.0)
 
-    dv = (v[bb][:, None, :] + cross_sv(w[bb][:, None], r_b)
-          - v[ba][:, None, :] - cross_sv(w[ba][:, None], r_a))
+    dv = (vb[:, None, :] + cross_sv(wb[:, None], r_b)
+          - va[:, None, :] - cross_sv(wa[:, None], r_a))
     v_rel = dot(dv, normal[:, None, :])
     velocity_bias = jnp.where(v_rel < -settings.VELOCITY_THRESHOLD,
                               -restitution[:, None] * v_rel, 0.0)
@@ -193,9 +205,14 @@ def init_contact_constraints(contacts, fx, bodies, c_pos, a_pos, v, w,
     )
 
 
-def warm_start(cc: ContactConstraints, ni, ti, v, w):
+def warm_start(cc: ContactConstraints, ni, ti, bs):
     """Apply accumulated impulses (b2ContactSolver::WarmStart). Order-free
-    scatter-add over all active contacts."""
+    scatter-add over all active contacts.
+
+    `bs` is the packed body velocity state (N, 4): [vx, vy, w, 0] — packing
+    lets every solver pass run ONE gather and ONE scatter instead of eight,
+    which is the difference between gather-bound and compute-bound on TPU.
+    """
     tangent = jnp.stack([cc.normal[:, 1], -cc.normal[:, 0]], axis=-1)
     pmask = (jnp.arange(2)[None, :] < cc.point_count[:, None]) & cc.active[:, None]
     p_imp = jnp.where(pmask[..., None],
@@ -205,81 +222,85 @@ def warm_start(cc: ContactConstraints, ni, ti, v, w):
     ang_a = jnp.sum(jnp.where(pmask, cross_vv(cc.r_a, p_imp), 0.0), axis=1)
     ang_b = jnp.sum(jnp.where(pmask, cross_vv(cc.r_b, p_imp), 0.0), axis=1)
 
-    v = v.at[cc.body_a].add(-cc.inv_mass_a[:, None] * p_sum)
-    w = w.at[cc.body_a].add(-cc.inv_i_a * ang_a)
-    v = v.at[cc.body_b].add(cc.inv_mass_b[:, None] * p_sum)
-    w = w.at[cc.body_b].add(cc.inv_i_b * ang_b)
-    return v, w
+    da = jnp.concatenate([-cc.inv_mass_a[:, None] * p_sum,
+                          (-cc.inv_i_a * ang_a)[:, None],
+                          jnp.zeros_like(ang_a)[:, None]], axis=1)
+    db = jnp.concatenate([cc.inv_mass_b[:, None] * p_sum,
+                          (cc.inv_i_b * ang_b)[:, None],
+                          jnp.zeros_like(ang_b)[:, None]], axis=1)
+    idx2 = jnp.concatenate([cc.body_a, cc.body_b])
+    return scatter_add(bs, idx2, jnp.concatenate([da, db], axis=0))
 
 
-def solve_velocity_color(cc: ContactConstraints, ni, ti, v, w, mask):
-    """One color pass of SolveVelocityConstraints (b2ContactSolver.cpp:293-603).
-    Contacts in `mask` touch disjoint dynamic bodies."""
-    m = mask & cc.active
-    va = v[cc.body_a]
-    wa = w[cc.body_a]
-    vb = v[cc.body_b]
-    wb = w[cc.body_b]
-    normal = cc.normal
-    tangent = jnp.stack([normal[:, 1], -normal[:, 0]], axis=-1)
-
-    ni_new = ni
-    ti_new = ti
+def velocity_contact_math_s(fr, ts, ma, mb, ia_, ib_, nx, ny,
+                            rax, ray, rbx, rby,  # ((C,),(C,)) per point j
+                            nm, tm, bias, k11, k12, k22, nm11, nm12, nm22,
+                            pc, ni, ti, vax, vay, wa, vbx, vby, wb, m):
+    """Scalarized SolveVelocityConstraints math (b2ContactSolver.cpp:293-603).
+    All args are component arrays of identical batch shape; per-point data is
+    passed as 2-tuples (point 0, point 1). Pure elementwise — lowers cleanly
+    both in XLA and Mosaic. Returns updated (ni, ti, vax..wb) as tuples."""
+    tx, ty = ny, -nx
+    ni = list(ni)
+    ti = list(ti)
 
     # friction, point by point (reference order: j = 0 then 1)
     for j in range(2):
-        has = m & (j < cc.point_count)
-        dv = vb + cross_sv(wb, cc.r_b[:, j]) - va - cross_sv(wa, cc.r_a[:, j])
-        vt = dot(dv, tangent) - cc.tangent_speed
-        lam = cc.tangent_mass[:, j] * (-vt)
-        max_f = cc.friction * ni_new[:, j]
-        new_imp = jnp.clip(ti_new[:, j] + lam, -max_f, max_f)
-        lam = jnp.where(has, new_imp - ti_new[:, j], 0.0)
-        ti_new = ti_new.at[:, j].set(jnp.where(has, new_imp, ti_new[:, j]))
-        p = lam[:, None] * tangent
-        va = va - cc.inv_mass_a[:, None] * p
-        wa = wa - cc.inv_i_a * cross_vv(cc.r_a[:, j], p)
-        vb = vb + cc.inv_mass_b[:, None] * p
-        wb = wb + cc.inv_i_b * cross_vv(cc.r_b[:, j], p)
+        has = m & (j < pc)
+        dvx = vbx - wb * rby[j] - vax + wa * ray[j]
+        dvy = vby + wb * rbx[j] - vay - wa * rax[j]
+        vt = dvx * tx + dvy * ty - ts
+        lam = tm[j] * (-vt)
+        max_f = fr * ni[j]
+        new_imp = jnp.clip(ti[j] + lam, -max_f, max_f)
+        lam = jnp.where(has, new_imp - ti[j], 0.0)
+        ti[j] = jnp.where(has, new_imp, ti[j])
+        px, py = lam * tx, lam * ty
+        vax -= ma * px
+        vay -= ma * py
+        wa -= ia_ * (rax[j] * py - ray[j] * px)
+        vbx += mb * px
+        vby += mb * py
+        wb += ib_ * (rbx[j] * py - rby[j] * px)
 
     # normal: 1-point scalar path
-    one_pt = m & (cc.point_count == 1)
-    dv0 = vb + cross_sv(wb, cc.r_b[:, 0]) - va - cross_sv(wa, cc.r_a[:, 0])
-    vn0 = dot(dv0, normal)
-    lam0 = -cc.normal_mass[:, 0] * (vn0 - cc.velocity_bias[:, 0])
-    new0 = jnp.maximum(ni_new[:, 0] + lam0, 0.0)
-    dlam0 = jnp.where(one_pt, new0 - ni_new[:, 0], 0.0)
-    p0 = dlam0[:, None] * normal
-    va = va - cc.inv_mass_a[:, None] * p0
-    wa = wa - cc.inv_i_a * cross_vv(cc.r_a[:, 0], p0)
-    vb = vb + cc.inv_mass_b[:, None] * p0
-    wb = wb + cc.inv_i_b * cross_vv(cc.r_b[:, 0], p0)
-    ni_new = ni_new.at[:, 0].set(jnp.where(one_pt, new0, ni_new[:, 0]))
+    one_pt = m & (pc == 1)
+    dvx = vbx - wb * rby[0] - vax + wa * ray[0]
+    dvy = vby + wb * rbx[0] - vay - wa * rax[0]
+    vn0 = dvx * nx + dvy * ny
+    lam0 = -nm[0] * (vn0 - bias[0])
+    new0 = jnp.maximum(ni[0] + lam0, 0.0)
+    dlam0 = jnp.where(one_pt, new0 - ni[0], 0.0)
+    px, py = dlam0 * nx, dlam0 * ny
+    vax -= ma * px
+    vay -= ma * py
+    wa -= ia_ * (rax[0] * py - ray[0] * px)
+    vbx += mb * px
+    vby += mb * py
+    wb += ib_ * (rbx[0] * py - rby[0] * px)
+    ni[0] = jnp.where(one_pt, new0, ni[0])
 
     # normal: 2-point block LCP by total enumeration
-    two_pt = m & (cc.point_count == 2)
-    a1 = ni_new[:, 0]
-    a2 = ni_new[:, 1]
-    dv1 = vb + cross_sv(wb, cc.r_b[:, 0]) - va - cross_sv(wa, cc.r_a[:, 0])
-    dv2 = vb + cross_sv(wb, cc.r_b[:, 1]) - va - cross_sv(wa, cc.r_a[:, 1])
-    vn1 = dot(dv1, normal)
-    vn2 = dot(dv2, normal)
-    b1 = vn1 - cc.velocity_bias[:, 0] - (cc.k11 * a1 + cc.k12 * a2)
-    b2 = vn2 - cc.velocity_bias[:, 1] - (cc.k12 * a1 + cc.k22 * a2)
+    two_pt = m & (pc == 2)
+    a1, a2 = ni[0], ni[1]
+    dv1x = vbx - wb * rby[0] - vax + wa * ray[0]
+    dv1y = vby + wb * rbx[0] - vay - wa * rax[0]
+    dv2x = vbx - wb * rby[1] - vax + wa * ray[1]
+    dv2y = vby + wb * rbx[1] - vay - wa * rax[1]
+    vn1 = dv1x * nx + dv1y * ny
+    vn2 = dv2x * nx + dv2y * ny
+    b1 = vn1 - bias[0] - (k11 * a1 + k12 * a2)
+    b2 = vn2 - bias[1] - (k12 * a1 + k22 * a2)
 
-    # case 1: both points at vn=0
-    x1_1 = -(cc.nm11 * b1 + cc.nm12 * b2)
-    x2_1 = -(cc.nm12 * b1 + cc.nm22 * b2)
+    x1_1 = -(nm11 * b1 + nm12 * b2)
+    x2_1 = -(nm12 * b1 + nm22 * b2)
     ok1 = (x1_1 >= 0.0) & (x2_1 >= 0.0)
-    # case 2: x2 = 0
-    x1_2 = -cc.normal_mass[:, 0] * b1
-    vn2_2 = cc.k12 * x1_2 + b2
+    x1_2 = -nm[0] * b1
+    vn2_2 = k12 * x1_2 + b2
     ok2 = (x1_2 >= 0.0) & (vn2_2 >= 0.0)
-    # case 3: x1 = 0
-    x2_3 = -cc.normal_mass[:, 1] * b2
-    vn1_3 = cc.k12 * x2_3 + b1
+    x2_3 = -nm[1] * b2
+    vn1_3 = k12 * x2_3 + b1
     ok3 = (x2_3 >= 0.0) & (vn1_3 >= 0.0)
-    # case 4: x = 0
     ok4 = (b1 >= 0.0) & (b2 >= 0.0)
 
     x1 = jnp.where(ok1, x1_1, jnp.where(ok2, x1_2, jnp.where(ok3, 0.0, jnp.where(ok4, 0.0, a1))))
@@ -288,96 +309,187 @@ def solve_velocity_color(cc: ContactConstraints, ni, ti, v, w, mask):
 
     d1 = jnp.where(two_pt, x1 - a1, 0.0)
     d2 = jnp.where(two_pt, x2 - a2, 0.0)
-    p1 = d1[:, None] * normal
-    p2 = d2[:, None] * normal
-    va = va - cc.inv_mass_a[:, None] * (p1 + p2)
-    wa = wa - cc.inv_i_a * (cross_vv(cc.r_a[:, 0], p1) + cross_vv(cc.r_a[:, 1], p2))
-    vb = vb + cc.inv_mass_b[:, None] * (p1 + p2)
-    wb = wb + cc.inv_i_b * (cross_vv(cc.r_b[:, 0], p1) + cross_vv(cc.r_b[:, 1], p2))
-    ni_new = ni_new.at[:, 0].set(jnp.where(two_pt, x1, ni_new[:, 0]))
-    ni_new = ni_new.at[:, 1].set(jnp.where(two_pt, x2, ni_new[:, 1]))
-
-    # scatter velocity deltas (disjoint within a color)
-    dva = jnp.where(m[:, None], va - v[cc.body_a], 0.0)
-    dwa = jnp.where(m, wa - w[cc.body_a], 0.0)
-    dvb = jnp.where(m[:, None], vb - v[cc.body_b], 0.0)
-    dwb = jnp.where(m, wb - w[cc.body_b], 0.0)
-    v = v.at[cc.body_a].add(dva)
-    w = w.at[cc.body_a].add(dwa)
-    v = v.at[cc.body_b].add(dvb)
-    w = w.at[cc.body_b].add(dwb)
-    return ni_new, ti_new, v, w
+    p1x, p1y = d1 * nx, d1 * ny
+    p2x, p2y = d2 * nx, d2 * ny
+    vax -= ma * (p1x + p2x)
+    vay -= ma * (p1y + p2y)
+    wa -= ia_ * ((rax[0] * p1y - ray[0] * p1x) + (rax[1] * p2y - ray[1] * p2x))
+    vbx += mb * (p1x + p2x)
+    vby += mb * (p1y + p2y)
+    wb += ib_ * ((rbx[0] * p1y - rby[0] * p1x) + (rbx[1] * p2y - rby[1] * p2x))
+    ni[0] = jnp.where(two_pt, x1, ni[0])
+    ni[1] = jnp.where(two_pt, x2, ni[1])
+    return tuple(ni), tuple(ti), vax, vay, wa, vbx, vby, wb
 
 
-def solve_position_color(cc: ContactConstraints, c, a, mask, baumgarte,
-                         max_correction):
-    """One color pass of SolvePositionConstraints (b2ContactSolver.cpp:676-752).
-    Returns updated (c, a, min_separation_per_contact)."""
+def velocity_contact_math(cc: ContactConstraints, ni, ti, va, wa, vb, wb, m):
+    """Vector-form wrapper over velocity_contact_math_s (shared with the
+    Pallas kernel, which calls the scalar core directly)."""
+    nis, tis, vax, vay, wa, vbx, vby, wb = velocity_contact_math_s(
+        cc.friction, cc.tangent_speed,
+        cc.inv_mass_a, cc.inv_mass_b, cc.inv_i_a, cc.inv_i_b,
+        cc.normal[..., 0], cc.normal[..., 1],
+        (cc.r_a[..., 0, 0], cc.r_a[..., 1, 0]),
+        (cc.r_a[..., 0, 1], cc.r_a[..., 1, 1]),
+        (cc.r_b[..., 0, 0], cc.r_b[..., 1, 0]),
+        (cc.r_b[..., 0, 1], cc.r_b[..., 1, 1]),
+        (cc.normal_mass[..., 0], cc.normal_mass[..., 1]),
+        (cc.tangent_mass[..., 0], cc.tangent_mass[..., 1]),
+        (cc.velocity_bias[..., 0], cc.velocity_bias[..., 1]),
+        cc.k11, cc.k12, cc.k22, cc.nm11, cc.nm12, cc.nm22,
+        cc.point_count,
+        (ni[..., 0], ni[..., 1]), (ti[..., 0], ti[..., 1]),
+        va[..., 0], va[..., 1], wa, vb[..., 0], vb[..., 1], wb, m)
+    return (jnp.stack(nis, axis=-1), jnp.stack(tis, axis=-1),
+            jnp.stack([vax, vay], axis=-1), wa,
+            jnp.stack([vbx, vby], axis=-1), wb)
+
+
+def solve_velocity_color(cc: ContactConstraints, ni, ti, bs, mask):
+    """One color pass of SolveVelocityConstraints (b2ContactSolver.cpp:293-603).
+    Contacts in `mask` touch disjoint dynamic bodies. `bs` = packed (N,4)
+    body velocity state [vx, vy, w, 0]."""
     m = mask & cc.active
-    ca = c[cc.body_a]
-    aa = a[cc.body_a]
-    cb = c[cc.body_b]
-    ab = a[cc.body_b]
-    min_sep = jnp.zeros(cc.friction.shape[0], jnp.float32)
+    idx2 = jnp.concatenate([cc.body_a, cc.body_b])
+    g = gather_rows(bs, idx2)                      # single gather (2C, 4)
+    n_c = cc.body_a.shape[0]
+    va0, wa0 = g[:n_c, 0:2], g[:n_c, 2]
+    vb0, wb0 = g[n_c:, 0:2], g[n_c:, 2]
 
-    for j in range(2):
-        has = m & (j < cc.point_count)
-        pa, qa = jax.vmap(_gather_xf)(ca, aa, cc.local_center_a)
-        pb, qb = jax.vmap(_gather_xf)(cb, ab, cc.local_center_b)
-        normal, point, sep = jax.vmap(_psm)(
-            cc.mtype, cc.local_point, cc.local_normal, cc.local_points,
-            pa, qa, cc.radius_a, pb, qb, cc.radius_b, jnp.full_like(cc.mtype, j))
-        r_a = point - ca
-        r_b = point - cb
-        min_sep = jnp.where(has, jnp.minimum(min_sep, sep), min_sep)
-        corr = jnp.clip(baumgarte * (sep + settings.LINEAR_SLOP),
-                        -max_correction, 0.0)
-        rn_a = cross_vv(r_a, normal)
-        rn_b = cross_vv(r_b, normal)
-        k = cc.inv_mass_a + cc.inv_mass_b + cc.inv_i_a * rn_a ** 2 + cc.inv_i_b * rn_b ** 2
-        impulse = jnp.where(has & (k > 0.0), -corr / jnp.where(k > 0.0, k, 1.0), 0.0)
-        p = impulse[:, None] * normal
-        ca = ca - cc.inv_mass_a[:, None] * p
-        aa = aa - cc.inv_i_a * cross_vv(r_a, p)
-        cb = cb + cc.inv_mass_b[:, None] * p
-        ab = ab + cc.inv_i_b * cross_vv(r_b, p)
+    ni_new, ti_new, va, wa, vb, wb = velocity_contact_math(
+        cc, ni, ti, va0, wa0, vb0, wb0, m)
 
-    dca = jnp.where(m[:, None], ca - c[cc.body_a], 0.0)
-    daa = jnp.where(m, aa - a[cc.body_a], 0.0)
-    dcb = jnp.where(m[:, None], cb - c[cc.body_b], 0.0)
-    dab = jnp.where(m, ab - a[cc.body_b], 0.0)
-    c = c.at[cc.body_a].add(dca)
-    a = a.at[cc.body_a].add(daa)
-    c = c.at[cc.body_b].add(dcb)
-    a = a.at[cc.body_b].add(dab)
-    return c, a, jnp.where(m, min_sep, 0.0)
+    # single packed scatter of velocity deltas (disjoint within a color)
+    da = jnp.concatenate([jnp.where(m[:, None], va - va0, 0.0),
+                          jnp.where(m, wa - wa0, 0.0)[:, None],
+                          jnp.zeros((n_c, 1), bs.dtype)], axis=1)
+    db = jnp.concatenate([jnp.where(m[:, None], vb - vb0, 0.0),
+                          jnp.where(m, wb - wb0, 0.0)[:, None],
+                          jnp.zeros((n_c, 1), bs.dtype)], axis=1)
+    bs = scatter_add(bs, idx2, jnp.concatenate([da, db], axis=0))
+    return ni_new, ti_new, bs
 
 
-def _psm(mtype, local_point, local_normal, local_points, pa, qa, ra, pb, qb, rb, j):
-    """b2PositionSolverManifold::Initialize (b2ContactSolver.cpp:620-672)."""
+def _psm_s(mtype, lpx, lpy, lnx, lny, mpx, mpy,
+           pax, pay, qas, qac, ra, pbx, pby, qbs, qbc, rb, j: int):
+    """Scalarized b2PositionSolverManifold::Initialize
+    (b2ContactSolver.cpp:620-672). mpx/mpy are 2-tuples of manifold point
+    components; j is the static point index."""
     # circles
-    pA = transform_point(pa, qa, local_point)
-    pB = transform_point(pb, qb, local_points[0])
-    d = pB - pA
-    n_c, _ = normalize(d)
-    pt_c = 0.5 * (pA + pB)
-    sep_c = dot(d, n_c) - ra - rb
+    pAx = qac * lpx - qas * lpy + pax
+    pAy = qas * lpx + qac * lpy + pay
+    pBx = qbc * mpx[0] - qbs * mpy[0] + pbx
+    pBy = qbs * mpx[0] + qbc * mpy[0] + pby
+    dx, dy = pBx - pAx, pBy - pAy
+    dist = jnp.sqrt(dx * dx + dy * dy)
+    safe = jnp.where(dist > 0.0, dist, 1.0)
+    ncx = jnp.where(dist > 0.0, dx / safe, 0.0)
+    ncy = jnp.where(dist > 0.0, dy / safe, 0.0)
+    ptcx, ptcy = 0.5 * (pAx + pBx), 0.5 * (pAy + pBy)
+    sep_c = dx * ncx + dy * ncy - ra - rb
 
-    lp_j = local_points[jnp.clip(j, 0, 1)]
+    jj = min(j, 1)
+    clx, cly = mpx[jj], mpy[jj]
     # faceA
-    n_a = rot_vec(qa, local_normal)
-    plane_a = transform_point(pa, qa, local_point)
-    clip_a = transform_point(pb, qb, lp_j)
-    sep_a = dot(clip_a - plane_a, n_a) - ra - rb
+    nax = qac * lnx - qas * lny
+    nay = qas * lnx + qac * lny
+    cax = qbc * clx - qbs * cly + pbx
+    cay = qbs * clx + qbc * cly + pby
+    sep_a = (cax - pAx) * nax + (cay - pAy) * nay - ra - rb
     # faceB
-    n_b = rot_vec(qb, local_normal)
-    plane_b = transform_point(pb, qb, local_point)
-    clip_b = transform_point(pa, qa, lp_j)
-    sep_b = dot(clip_b - plane_b, n_b) - ra - rb
+    nbx = qbc * lnx - qbs * lny
+    nby = qbs * lnx + qbc * lny
+    planeBx = qbc * lpx - qbs * lpy + pbx
+    planeBy = qbs * lpx + qbc * lpy + pby
+    cbx = qac * clx - qas * cly + pax
+    cby = qas * clx + qac * cly + pay
+    sep_b = (cbx - planeBx) * nbx + (cby - planeBy) * nby - ra - rb
 
     is_a = mtype == settings.MANIFOLD_FACE_A
     is_b = mtype == settings.MANIFOLD_FACE_B
-    normal = jnp.where(is_a, n_a, jnp.where(is_b, -n_b, n_c))
-    point = jnp.where(is_a, clip_a, jnp.where(is_b, clip_b, pt_c))
+    nx = jnp.where(is_a, nax, jnp.where(is_b, -nbx, ncx))
+    ny = jnp.where(is_a, nay, jnp.where(is_b, -nby, ncy))
+    px = jnp.where(is_a, cax, jnp.where(is_b, cbx, ptcx))
+    py = jnp.where(is_a, cay, jnp.where(is_b, cby, ptcy))
     sep = jnp.where(is_a, sep_a, jnp.where(is_b, sep_b, sep_c))
-    return normal, point, sep
+    return nx, ny, px, py, sep
+
+
+def position_contact_math_s(mtype, pc, ma, mb, ia_, ib_, ra, rb,
+                            lcax, lcay, lcbx, lcby, lpx, lpy, lnx, lny,
+                            mpx, mpy, cax, cay, aa, cbx, cby, ab, m,
+                            baumgarte, max_correction):
+    """Scalarized NGS position pass (both manifold points)."""
+    min_sep = jnp.zeros_like(aa)
+    for j in range(2):
+        has = m & (j < pc)
+        qas, qac = jnp.sin(aa), jnp.cos(aa)
+        qbs, qbc = jnp.sin(ab), jnp.cos(ab)
+        pax = cax - (qac * lcax - qas * lcay)
+        pay = cay - (qas * lcax + qac * lcay)
+        pbx = cbx - (qbc * lcbx - qbs * lcby)
+        pby = cby - (qbs * lcbx + qbc * lcby)
+        nx, ny, px, py, sep = _psm_s(
+            mtype, lpx, lpy, lnx, lny, mpx, mpy,
+            pax, pay, qas, qac, ra, pbx, pby, qbs, qbc, rb, j)
+        r_ax, r_ay = px - cax, py - cay
+        r_bx, r_by = px - cbx, py - cby
+        min_sep = jnp.where(has, jnp.minimum(min_sep, sep), min_sep)
+        corr = jnp.clip(baumgarte * (sep + settings.LINEAR_SLOP),
+                        -max_correction, 0.0)
+        rn_a = r_ax * ny - r_ay * nx
+        rn_b = r_bx * ny - r_by * nx
+        k = ma + mb + ia_ * rn_a * rn_a + ib_ * rn_b * rn_b
+        impulse = jnp.where(has & (k > 0.0), -corr / jnp.where(k > 0.0, k, 1.0), 0.0)
+        ix, iy = impulse * nx, impulse * ny
+        cax -= ma * ix
+        cay -= ma * iy
+        aa -= ia_ * (r_ax * iy - r_ay * ix)
+        cbx += mb * ix
+        cby += mb * iy
+        ab += ib_ * (r_bx * iy - r_by * ix)
+    return cax, cay, aa, cbx, cby, ab, min_sep
+
+
+def position_contact_math(cc: ContactConstraints, ca, aa, cb, ab, m,
+                          baumgarte, max_correction):
+    """Vector-form wrapper over position_contact_math_s."""
+    cax, cay, aa, cbx, cby, ab, min_sep = position_contact_math_s(
+        cc.mtype, cc.point_count,
+        cc.inv_mass_a, cc.inv_mass_b, cc.inv_i_a, cc.inv_i_b,
+        cc.radius_a, cc.radius_b,
+        cc.local_center_a[..., 0], cc.local_center_a[..., 1],
+        cc.local_center_b[..., 0], cc.local_center_b[..., 1],
+        cc.local_point[..., 0], cc.local_point[..., 1],
+        cc.local_normal[..., 0], cc.local_normal[..., 1],
+        (cc.local_points[..., 0, 0], cc.local_points[..., 1, 0]),
+        (cc.local_points[..., 0, 1], cc.local_points[..., 1, 1]),
+        ca[..., 0], ca[..., 1], aa, cb[..., 0], cb[..., 1], ab, m,
+        baumgarte, max_correction)
+    return (jnp.stack([cax, cay], axis=-1), aa,
+            jnp.stack([cbx, cby], axis=-1), ab, min_sep)
+
+
+def solve_position_color(cc: ContactConstraints, ps, mask, baumgarte,
+                         max_correction):
+    """One color pass of SolvePositionConstraints (b2ContactSolver.cpp:676-752).
+    `ps` = packed (N,4) position state [cx, cy, a, 0].
+    Returns (ps, min_separation_per_contact)."""
+    m = mask & cc.active
+    idx2 = jnp.concatenate([cc.body_a, cc.body_b])
+    g = gather_rows(ps, idx2)
+    n_c = cc.body_a.shape[0]
+    ca0, aa0 = g[:n_c, 0:2], g[:n_c, 2]
+    cb0, ab0 = g[n_c:, 0:2], g[n_c:, 2]
+
+    ca, aa, cb, ab, min_sep = position_contact_math(
+        cc, ca0, aa0, cb0, ab0, m, baumgarte, max_correction)
+
+    da = jnp.concatenate([jnp.where(m[:, None], ca - ca0, 0.0),
+                          jnp.where(m, aa - aa0, 0.0)[:, None],
+                          jnp.zeros((n_c, 1), ps.dtype)], axis=1)
+    db = jnp.concatenate([jnp.where(m[:, None], cb - cb0, 0.0),
+                          jnp.where(m, ab - ab0, 0.0)[:, None],
+                          jnp.zeros((n_c, 1), ps.dtype)], axis=1)
+    ps = scatter_add(ps, idx2, jnp.concatenate([da, db], axis=0))
+    return ps, jnp.where(m, min_sep, 0.0)

@@ -37,6 +37,22 @@ def make_batched_step(**step_kwargs):
     return jax.jit(_step)
 
 
+def make_rollout(n_steps: int, **step_kwargs):
+    """jitted lax.scan rollout: n_steps of vmapped step in ONE program.
+    This is the production driving pattern — per-step Python dispatch
+    (~3us per output buffer through the runtime) disappears entirely."""
+    from ..world import step as _step
+
+    def rollout(states, dt):
+        def body(ss, _):
+            new_ss, _ev = jax.vmap(lambda s: _step(s, dt, **step_kwargs))(ss)
+            return new_ss, None
+        out, _ = jax.lax.scan(body, states, None, length=n_steps)
+        return out
+
+    return jax.jit(rollout)
+
+
 def make_sharded_step(mesh: Mesh, axis: str = "worlds", **step_kwargs):
     """Shard the world axis of a batched State over `mesh` and return a
     jitted step. Worlds are independent, so XLA partitions the whole

@@ -38,6 +38,7 @@ from .math2d import rot_from_angle, rot_vec
 from .state import (Bodies, Contacts, Fixtures, Joints, State)
 from .joints import make_empty_joints, joints_present, build_joint_arrays
 from .ops import broadphase, coloring, islands, integrate
+from .ops.gather import gather_rows, gather_scalar, scatter_add, scatter_min_scalar, scatter_max_scalar
 from .ops import narrowphase as nph
 from .ops import solver as csolver
 
@@ -70,35 +71,83 @@ def _body_xf(bodies: Bodies):
     return p, q
 
 
-@partial(jax.jit, static_argnames=(
-    "velocity_iterations", "position_iterations", "warm_starting",
-    "allow_sleep", "max_colors"))
-def step(state: State, dt, velocity_iterations: int = 8,
-         position_iterations: int = 3, warm_starting: bool = True,
-         allow_sleep: bool = True, max_colors: int = settings.MAX_COLORS
-         ) -> Tuple[State, Events]:
+class _PreSolve(NamedTuple):
+    """Intermediate state between the collide/prepare phase and the solver
+    middle phase (which is swappable: XLA color loops or the fused Pallas
+    kernel)."""
+    contacts: Contacts
+    awake: jax.Array
+    labels: jax.Array
+    non_static: jax.Array
+    solve_mask: jax.Array
+    c0: jax.Array
+    a0: jax.Array
+    cc: object
+    color: jax.Array
+    color_overflow: jax.Array
+    ni_it: jax.Array
+    ti_it: jax.Array
+    bs: jax.Array
+    ba: jax.Array
+    bb: jax.Array
+    cc_active: jax.Array
+    dt_ratio: jax.Array
+    begin_touch: jax.Array
+    end_touch: jax.Array
+
+
+def _pre_solve(state: State, dt, warm_starting: bool, max_colors: int) -> _PreSolve:
+    """Collide phase + island/coloring/constraint prep + contact warm start
+    (b2World Collide + the head of Solve)."""
     bodies = state.bodies
     fx = state.fixtures
     contacts = state.contacts
     nb = bodies.capacity
     nf = fx.capacity
-    dt = jnp.asarray(dt, jnp.float32)
 
     # ---------------------------------------------------------- 1. Collide
     ia = jnp.clip(contacts.f_a, 0)
     ib = jnp.clip(contacts.f_b, 0)
-    ba = jnp.clip(fx.body[ia], 0)
-    bb = jnp.clip(fx.body[ib], 0)
     pair_exists = contacts.f_a >= 0
+    iab = jnp.concatenate([ia, ib])
+    nc = contacts.capacity
+
+    # pack all per-fixture shape data into one blob so the narrow phase does
+    # a single gather per step (TPU gathers dominate otherwise)
+    fblob = jnp.concatenate([
+        fx.verts.reshape(nf, 16), fx.normals.reshape(nf, 16),
+        fx.radius[:, None], fx.nverts.astype(jnp.float32)[:, None],
+        fx.ghosts.astype(jnp.float32),
+        fx.shape_type.astype(jnp.float32)[:, None],
+        fx.body.astype(jnp.float32)[:, None],
+        fx.is_sensor.astype(jnp.float32)[:, None],
+    ], axis=1)                                          # (F, 39)
+    g = gather_rows(fblob, iab)                         # ONE gather (2C, 39)
+
+    def unpack_rows(r):
+        return nph.ShapeRows(
+            verts=r[:, 0:16].reshape(-1, 8, 2),
+            normals=r[:, 16:32].reshape(-1, 8, 2),
+            nverts=r[:, 33].astype(jnp.int32),
+            ghosts=r[:, 34:36] > 0.5,
+            radius=r[:, 32])
+
+    rows_a = unpack_rows(g[:nc])
+    rows_b = unpack_rows(g[nc:])
+    type_ab = g[:, 36].astype(jnp.int32)
+    body_ab = jnp.clip(g[:, 37].astype(jnp.int32), 0)
+    ba = body_ab[:nc]
+    bb = body_ab[nc:]
 
     p_all, q_all = _body_xf(bodies)
-    rows_a = _gather_rows(fx, ia)
-    rows_b = _gather_rows(fx, ib)
-    kind = nph.contact_kind(fx.shape_type[ia], fx.shape_type[ib])
+    pq = jnp.concatenate([p_all, q_all], axis=1)        # (N,4)
+    pq_ab = gather_rows(pq, body_ab)                    # ONE gather (2C, 4)
+    kind = nph.contact_kind(type_ab[:nc], type_ab[nc:])
     manifold = jax.vmap(nph.collide)(
-        kind, rows_a, p_all[ba], q_all[ba], rows_b, p_all[bb], q_all[bb])
+        kind, rows_a, pq_ab[:nc, 0:2], pq_ab[:nc, 2:4],
+        rows_b, pq_ab[nc:, 0:2], pq_ab[nc:, 2:4])
 
-    sensor = fx.is_sensor[ia] | fx.is_sensor[ib]
+    sensor = (g[:nc, 38] > 0.5) | (g[nc:, 38] > 0.5)
     touching = pair_exists & (manifold.count > 0)
     # sensors don't generate manifolds (b2Contact.cpp:199-205); overlap for
     # sensor touch reporting is approximated by the manifold test for now.
@@ -119,8 +168,11 @@ def step(state: State, dt, velocity_iterations: int = 8,
     # touch transitions wake both bodies (non-sensor)
     changed = pair_exists & ~sensor & (touching != contacts.touching)
     awake = bodies.awake
-    awake = awake.at[jnp.where(changed, ba, nb - 1)].max(changed)
-    awake = awake.at[jnp.where(changed, bb, nb - 1)].max(changed)
+    wake_hits = scatter_max_scalar(
+        nb, jnp.where(jnp.concatenate([changed, changed]),
+                      jnp.concatenate([ba, bb]), nb),
+        jnp.ones(2 * nc, jnp.int32), 0) > 0
+    awake = awake | wake_hits
     begin_touch = pair_exists & touching & ~contacts.touching
     end_touch = pair_exists & ~touching & contacts.touching
 
@@ -131,7 +183,7 @@ def step(state: State, dt, velocity_iterations: int = 8,
         m_ids=manifold.ids, m_count=m_count,
         normal_impulse=ni, tangent_impulse=ti, touching=touching)
 
-    # ------------------------------------------------------------ 2. Solve
+    # -------------------------------------------------- 2. Solve preamble
     non_static = bodies.exists & ~bodies.is_static & bodies.enabled
     dyn = bodies.is_dynamic & bodies.enabled
 
@@ -156,89 +208,131 @@ def step(state: State, dt, velocity_iterations: int = 8,
         dataclasses.replace(bodies, awake=awake), state.gravity, dt, solve_mask)
 
     cc_active = solvable_contact & ((dyn[ba] & awake[ba]) | (dyn[bb] & awake[bb]))
-    conflict_a = dyn[ba]
-    conflict_b = dyn[bb]
     color, color_overflow = coloring.color_constraints(
-        ba, bb, conflict_a, conflict_b, cc_active, nb, max_colors)
+        ba, bb, dyn[ba], dyn[bb], cc_active, nb, max_colors)
 
     cc = csolver.init_contact_constraints(
         contacts, fx, bodies, bodies.c, bodies.a, v, w, cc_active)
 
     dt_ratio = jnp.where(dt > 0, state.inv_dt0 * dt, 0.0)
+    # packed body velocity state [vx, vy, w, 0] — lets each solver pass run
+    # one gather + one scatter (TPU gathers are the step's bottleneck op)
+    bs = jnp.concatenate([v, w[:, None], jnp.zeros((nb, 1), v.dtype)], axis=1)
     if warm_starting:
         ni_it = dt_ratio * contacts.normal_impulse
         ti_it = dt_ratio * contacts.tangent_impulse
-        v, w = csolver.warm_start(cc, ni_it, ti_it, v, w)
+        bs = csolver.warm_start(cc, ni_it, ti_it, bs)
     else:
         ni_it = jnp.zeros_like(contacts.normal_impulse)
         ti_it = jnp.zeros_like(contacts.tangent_impulse)
 
+    return _PreSolve(
+        contacts=contacts, awake=awake, labels=labels, non_static=non_static,
+        solve_mask=solve_mask, c0=c0, a0=a0, cc=cc, color=color,
+        color_overflow=color_overflow, ni_it=ni_it, ti_it=ti_it, bs=bs,
+        ba=ba, bb=bb, cc_active=cc_active, dt_ratio=dt_ratio,
+        begin_touch=begin_touch, end_touch=end_touch)
+
+
+def _solve_middle_xla(state: State, pre: _PreSolve, dt,
+                      velocity_iterations, position_iterations,
+                      warm_starting, max_colors):
+    """Velocity/position iteration loops in XLA (handles joints)."""
+    bodies = state.bodies
+    nb = bodies.capacity
+    cc, color = pre.cc, pre.color
+    ni_it, ti_it, bs = pre.ni_it, pre.ti_it, pre.bs
+    v, w = bs[:, 0:2], bs[:, 2]
+
     have_joints = joints_present(state.joints)
     if have_joints:
-        from .joints import init_joints, warm_start_joints, solve_joint_velocity, solve_joint_position, store_joint_impulses
-        jdata, jstate = init_joints(state.joints, bodies, awake, v, w, dt,
-                                    dt_ratio, warm_starting, nb, max_colors)
+        from .joints import (init_joints, warm_start_joints,
+                             solve_joint_velocity, solve_joint_position,
+                             store_joint_impulses)
+        jdata, jstate = init_joints(state.joints, bodies, pre.awake, v, w, dt,
+                                    pre.dt_ratio, warm_starting, nb, max_colors)
         v, w = warm_start_joints(jdata, jstate, v, w)
+        bs = jnp.concatenate([v, w[:, None], jnp.zeros((nb, 1), v.dtype)], axis=1)
     else:
         jdata = jstate = None
 
     def vel_iter(_, carry):
-        ni_it, ti_it, v, w, jstate = carry
+        ni_it, ti_it, bs, jstate = carry
         if have_joints:
+            v, w = bs[:, 0:2], bs[:, 2]
             jstate, v, w = solve_joint_velocity(jdata, jstate, v, w, dt, max_colors)
+            bs = jnp.concatenate([v, w[:, None], jnp.zeros((nb, 1), v.dtype)], axis=1)
 
         def color_pass(ci, inner):
-            ni_it, ti_it, v, w = inner
-            return csolver.solve_velocity_color(cc, ni_it, ti_it, v, w,
+            ni_it, ti_it, bs = inner
+            return csolver.solve_velocity_color(cc, ni_it, ti_it, bs,
                                                 color == ci)
 
-        ni_it, ti_it, v, w = jax.lax.fori_loop(
-            0, max_colors, color_pass, (ni_it, ti_it, v, w))
-        return ni_it, ti_it, v, w, jstate
+        ni_it, ti_it, bs = jax.lax.fori_loop(
+            0, max_colors, color_pass, (ni_it, ti_it, bs))
+        return ni_it, ti_it, bs, jstate
 
-    ni_it, ti_it, v, w, jstate = jax.lax.fori_loop(
-        0, velocity_iterations, vel_iter, (ni_it, ti_it, v, w, jstate))
-
-    contacts = dataclasses.replace(
-        contacts, normal_impulse=ni_it, tangent_impulse=ti_it)
+    ni_it, ti_it, bs, jstate = jax.lax.fori_loop(
+        0, velocity_iterations, vel_iter, (ni_it, ti_it, bs, jstate))
+    v, w = bs[:, 0:2], bs[:, 2]
 
     c, a, v, w = integrate.integrate_positions(
-        bodies.c, bodies.a, v, w, dt, solve_mask)
+        bodies.c, bodies.a, v, w, dt, pre.solve_mask)
+
+    ps = jnp.concatenate([c, a[:, None], jnp.zeros((nb, 1), c.dtype)], axis=1)
 
     def pos_iter(_, carry):
-        c, a, min_sep, jok = carry
+        ps, min_sep, jok = carry
 
         def color_pass(ci, inner):
-            c, a, min_sep = inner
-            c, a, ms = csolver.solve_position_color(
-                cc, c, a, color == ci, settings.BAUMGARTE,
+            ps, min_sep = inner
+            ps, ms = csolver.solve_position_color(
+                cc, ps, color == ci, settings.BAUMGARTE,
                 settings.MAX_LINEAR_CORRECTION)
-            return c, a, jnp.minimum(min_sep, ms)
+            return ps, jnp.minimum(min_sep, ms)
 
-        c, a, min_sep = jax.lax.fori_loop(
-            0, max_colors, color_pass,
-            (c, a, jnp.zeros_like(min_sep)))
+        ps, min_sep = jax.lax.fori_loop(
+            0, max_colors, color_pass, (ps, jnp.zeros_like(min_sep)))
         if have_joints:
-            c, a, jok = solve_joint_position(jdata, jstate, c, a, max_colors)
-        return c, a, min_sep, jok
+            c_, a_ = ps[:, 0:2], ps[:, 2]
+            c_, a_, jok = solve_joint_position(jdata, jstate, c_, a_, max_colors)
+            ps = jnp.concatenate([c_, a_[:, None], jnp.zeros((nb, 1), c_.dtype)], axis=1)
+        return ps, min_sep, jok
 
-    min_sep0 = jnp.zeros(contacts.capacity, jnp.float32)
+    min_sep0 = jnp.zeros(pre.contacts.capacity, jnp.float32)
     jok0 = jnp.ones(nb, bool)
-    c, a, min_sep, jok = jax.lax.fori_loop(
-        0, position_iterations, pos_iter, (c, a, min_sep0, jok0))
+    ps, min_sep, jok = jax.lax.fori_loop(
+        0, position_iterations, pos_iter, (ps, min_sep0, jok0))
+    c, a = ps[:, 0:2], ps[:, 2]
 
     if have_joints:
         joints_new = store_joint_impulses(state.joints, jstate)
     else:
         joints_new = state.joints
 
+    return ni_it, ti_it, c, a, v, w, min_sep, jok, joints_new
+
+
+def _post_solve(state: State, pre: _PreSolve, dt, allow_sleep,
+                ni_it, ti_it, c, a, v, w, min_sep, jok, joints_new
+                ) -> Tuple[State, Events]:
+    """Impulse store, sleep, fixture synchronize, pair-table refresh."""
+    bodies = state.bodies
+    nb = bodies.capacity
+    nf = state.fixtures.capacity
+    contacts = dataclasses.replace(
+        pre.contacts, normal_impulse=ni_it, tangent_impulse=ti_it)
+    labels, non_static = pre.labels, pre.non_static
+    ba, bb, cc_active = pre.ba, pre.bb, pre.cc_active
+    awake, c0, a0 = pre.awake, pre.c0, pre.a0
+
     # per-island convergence for sleep (positionSolved analog)
     contact_ok = min_sep >= -3.0 * settings.LINEAR_SLOP
-    c_label = labels[jnp.where(non_static[ba], ba, bb)]
-    island_ok = jnp.ones(nb, bool).at[
-        jnp.where(cc_active, c_label, nb - 1)
-    ].min(jnp.where(cc_active, contact_ok, True))
-    island_ok &= jnp.ones(nb, bool).at[labels].min(jok)
+    c_label = gather_scalar(labels, jnp.where(non_static[ba], ba, bb))
+    island_ok = scatter_min_scalar(
+        nb, jnp.where(cc_active, c_label, nb),
+        jnp.where(cc_active, contact_ok, True).astype(jnp.int32), 1) > 0
+    island_ok &= scatter_min_scalar(nb, labels, jok.astype(jnp.int32), 1) > 0
 
     bodies = dataclasses.replace(
         bodies, c=c, a=a, c0=c0, a0=a0, v=v, w=w, awake=awake,
@@ -255,6 +349,7 @@ def step(state: State, dt, velocity_iterations: int = 8,
     # --------------------------------------- 3. Synchronize + pair update
     p0, q0 = _body_xf(dataclasses.replace(bodies, c=c0, a=a0))
     p1, q1 = _body_xf(bodies)
+    fx = state.fixtures
     fb = jnp.clip(fx.body, 0)
     aabb_lo, aabb_hi, _ = broadphase.synchronize(
         fx, p0[fb], q0[fb], p1[fb], q1[fb])
@@ -270,11 +365,75 @@ def step(state: State, dt, velocity_iterations: int = 8,
     new_state = dataclasses.replace(
         state_mid, contacts=contacts, inv_dt0=inv_dt0)
     events = Events(
-        begin_touch=begin_touch, end_touch=end_touch,
+        begin_touch=pre.begin_touch, end_touch=pre.end_touch,
         f_a=state.contacts.f_a, f_b=state.contacts.f_b,
         pair_overflow=pair_overflow.astype(jnp.int32),
-        color_overflow=color_overflow.astype(jnp.int32))
+        color_overflow=pre.color_overflow.astype(jnp.int32))
     return new_state, events
+
+
+@partial(jax.jit, static_argnames=(
+    "velocity_iterations", "position_iterations", "warm_starting",
+    "allow_sleep", "max_colors"))
+def step(state: State, dt, velocity_iterations: int = 8,
+         position_iterations: int = 3, warm_starting: bool = True,
+         allow_sleep: bool = True, max_colors: int = settings.MAX_COLORS
+         ) -> Tuple[State, Events]:
+    dt = jnp.asarray(dt, jnp.float32)
+    pre = _pre_solve(state, dt, warm_starting, max_colors)
+    mids = _solve_middle_xla(state, pre, dt, velocity_iterations,
+                             position_iterations, warm_starting, max_colors)
+    return _post_solve(state, pre, dt, allow_sleep, *mids)
+
+
+@partial(jax.jit, static_argnames=(
+    "velocity_iterations", "position_iterations", "warm_starting",
+    "allow_sleep", "max_colors", "tile_worlds"))
+def step_batched_pallas(states: State, dt, velocity_iterations: int = 8,
+                        position_iterations: int = 3, warm_starting: bool = True,
+                        allow_sleep: bool = True,
+                        max_colors: int = settings.MAX_COLORS,
+                        tile_worlds: int = 8) -> Tuple[State, Events]:
+    """Batched step whose solver middle phase runs as ONE fused Pallas
+    kernel across all worlds (ops/pallas_solver.py). Joint-free worlds only
+    (joints interleave per iteration and currently solve in XLA)."""
+    from .ops import pallas_solver
+
+    assert not joints_present(states.joints), (
+        "step_batched_pallas: worlds with joints must use the XLA path")
+    dt = jnp.asarray(dt, jnp.float32)
+
+    pre = jax.vmap(lambda s: _pre_solve(s, dt, warm_starting, max_colors))(states)
+
+    cf, ci = jax.vmap(pallas_solver.pack_for_kernel)(pre.cc, pre.color)
+    zeros_n = jnp.zeros_like(states.bodies.a)
+    bsps = jnp.stack([
+        pre.bs[..., 0], pre.bs[..., 1], pre.bs[..., 2],
+        pre.solve_mask.astype(jnp.float32),
+        states.bodies.c[..., 0], states.bodies.c[..., 1], states.bodies.a,
+        zeros_n], axis=1)                                  # (W, 8, N)
+    imp = jnp.stack([pre.ni_it[..., 0], pre.ni_it[..., 1],
+                     pre.ti_it[..., 0], pre.ti_it[..., 1]], axis=1)  # (W,4,C)
+
+    imp, bsps, min_sep = pallas_solver.fused_solve(
+        cf, ci, imp, bsps, dt, vel_iters=velocity_iterations,
+        pos_iters=position_iterations, max_colors=max_colors,
+        tile_worlds=tile_worlds)
+
+    ni_it = jnp.stack([imp[:, 0], imp[:, 1]], axis=-1)
+    ti_it = jnp.stack([imp[:, 2], imp[:, 3]], axis=-1)
+    v = jnp.stack([bsps[:, 0], bsps[:, 1]], axis=-1)
+    w = bsps[:, 2]
+    c = jnp.stack([bsps[:, 4], bsps[:, 5]], axis=-1)
+    a = bsps[:, 6]
+    nb = states.bodies.capacity
+    jok = jnp.ones((pre.bs.shape[0], nb), bool)
+
+    return jax.vmap(
+        lambda s, p, nii, tii, cc_, aa_, vv_, ww_, ms_, jk_: _post_solve(
+            s, p, dt, allow_sleep, nii, tii, cc_, aa_, vv_, ww_, ms_, jk_,
+            s.joints)
+    )(states, pre, ni_it, ti_it, c, a, v, w, min_sep, jok)
 
 
 # --------------------------------------------------------------------------
