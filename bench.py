@@ -22,8 +22,8 @@ import jax.numpy as jnp
 
 
 def main():
-    n_worlds = int(os.environ.get("BENCH_WORLDS", "256"))
-    rows = int(os.environ.get("BENCH_ROWS", "24"))       # 24 rows = 300 bodies
+    n_worlds = int(os.environ.get("BENCH_WORLDS", "512"))
+    rows = int(os.environ.get("BENCH_ROWS", "10"))      # 10 rows = 55 bodies + ground
     n_steps = int(os.environ.get("BENCH_STEPS", "60"))
 
     from box2d_mt_tpu.models import scenes

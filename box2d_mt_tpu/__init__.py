@@ -24,10 +24,12 @@ from . import math2d, settings, shapes, state
 from .state import State, Bodies, Fixtures, Contacts, Joints
 from .world import WorldBuilder, Events, step
 from . import mutate
+from .ops.raycast import query_aabb, ray_cast_all, ray_cast_closest
 
 __all__ = [
     "WorldBuilder", "Events", "step", "State", "Bodies", "Fixtures",
     "Contacts", "Joints", "math2d", "settings", "shapes", "state", "mutate",
+    "ray_cast_closest", "ray_cast_all", "query_aabb",
 ]
 
 __version__ = "0.1.0"

@@ -21,7 +21,9 @@ import jax.numpy as jnp
 _EXACT = jax.lax.Precision.HIGHEST
 
 # beyond this intermediate size, fall back to native gather
-ONEHOT_MAX_ELEMENTS = 1 << 22
+# ~256k: one-hot work is O(M*N) per op; beyond this the (M, N) intermediate's
+# bandwidth exceeds the native gather's fixed DMA cost (esp. under vmap).
+ONEHOT_MAX_ELEMENTS = 1 << 18
 
 
 def _use_onehot(m, n):

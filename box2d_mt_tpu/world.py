@@ -37,7 +37,7 @@ from . import settings, shapes
 from .math2d import rot_from_angle, rot_vec
 from .state import (Bodies, Contacts, Fixtures, Joints, State)
 from .joints import make_empty_joints, joints_present, build_joint_arrays
-from .ops import broadphase, coloring, islands, integrate
+from .ops import broadphase, coloring, distance, islands, integrate
 from .ops.gather import gather_rows, gather_scalar, scatter_add, scatter_min_scalar, scatter_max_scalar
 from .ops import narrowphase as nph
 from .ops import solver as csolver
@@ -372,18 +372,283 @@ def _post_solve(state: State, pre: _PreSolve, dt, allow_sleep,
     return new_state, events
 
 
+
+
+def _solve_toi(state: State, dt, velocity_iterations: int, toi_rounds: int):
+    """Continuous physics (b2World::SolveTOI, b2World.cpp:1026-1093).
+
+    Bounded sub-step loop: each round computes every TOI candidate's impact
+    time (conservative advancement over the remaining sweep window), picks
+    the earliest (slot order = canonical key order, replicating ToiLessThan
+    tie-breaking), advances that pair to the impact time, resolves the pair
+    with a no-warm-start position+velocity sub-solve
+    (b2Island::SolveTOI, b2Island.cpp:398-530), and completes the remainder
+    of the step for the two bodies.
+
+    Deviations from the reference (round-1): the sub-solve covers only the
+    impact pair, not the pair's neighbor contacts; neighbor bodies are not
+    tentatively advanced. The pair table is NOT refreshed after TOI moves —
+    safe because TOI points lie on the sweep path, so the pre-TOI swept fat
+    AABBs are a superset.
+    """
+    from .ops.solver import (position_contact_math_s, velocity_contact_math_s)
+    dst = distance
+
+    bodies = state.bodies
+    fx = state.fixtures
+    contacts = state.contacts
+    nb = bodies.capacity
+    nc = contacts.capacity
+
+    ia = jnp.clip(contacts.f_a, 0)
+    ib = jnp.clip(contacts.f_b, 0)
+    ba = jnp.clip(fx.body[ia], 0)
+    bb = jnp.clip(fx.body[ib], 0)
+    pair_exists = contacts.f_a >= 0
+
+    sensor = fx.is_sensor[ia] | fx.is_sensor[ib]
+    bullet = bodies.bullet[ba] | bodies.bullet[bb]
+    both_dyn = bodies.is_dynamic[ba] & bodies.is_dynamic[bb]
+    thick = fx.thick_shape[ia] | fx.thick_shape[ib]
+    # b2Contact::IsToiCandidate (b2Contact.cpp:300-324)
+    cand = pair_exists & ~sensor & (bullet | (~both_dyn & ~thick))
+    # active: at least one awake non-static body (b2World.cpp:1534-1541)
+    ns = ~bodies.is_static
+    cand &= (bodies.awake[ba] & ns[ba]) | (bodies.awake[bb] & ns[bb])
+
+    def round_body(_, carry):
+        c, a, c0, a0, alpha0, v, w, awake, blocked, done = carry
+
+        # --- per-candidate alpha (sync sweeps to common alpha0, run TOI)
+        al0 = jnp.maximum(alpha0[ba], alpha0[bb])
+
+        def adv(c0x, cx, a0x, ax, al0x, tgt):
+            beta = (tgt - al0x) / jnp.where(al0x < 1.0, 1.0 - al0x, 1.0)
+            return (c0x + beta[:, None] * (cx - c0x), a0x + beta * (ax - a0x))
+
+        c0a, a0a = adv(c0[ba], c[ba], a0[ba], a[ba], alpha0[ba], al0)
+        c0b, a0b = adv(c0[bb], c[bb], a0[bb], a[bb], alpha0[bb], al0)
+
+        tstate, t = jax.vmap(dst.time_of_impact)(
+            fx.verts[ia], fx.nverts[ia], fx.radius[ia],
+            bodies.local_center[ba], c0a, c[ba], a0a, a[ba],
+            fx.verts[ib], fx.nverts[ib], fx.radius[ib],
+            bodies.local_center[bb], c0b, c[bb], a0b, a[bb],
+            jnp.ones(nc, jnp.float32))
+
+        alpha_c = jnp.where(tstate == dst.TOI_TOUCHING,
+                            jnp.minimum(al0 + (1.0 - al0) * t, 1.0), 1.0)
+        alpha_c = jnp.where(cand & ~blocked, alpha_c, jnp.inf)
+        k = jnp.argmin(alpha_c).astype(jnp.int32)
+        alpha_min = alpha_c[k]
+        act = ~done & (alpha_min < 1.0 - 10.0 * 1.1920929e-7)
+        done = done | ~act
+        alpha_min = jnp.where(act, alpha_min, 1.0)
+
+        bA = ba[k]
+        bB = bb[k]
+
+        # --- advance both bodies to alpha_min (b2Body::Advance)
+        def advance_body(bi):
+            bet = (alpha_min - alpha0[bi]) / jnp.where(
+                alpha0[bi] < 1.0, 1.0 - alpha0[bi], 1.0)
+            c0n = c0[bi] + bet * (c[bi] - c0[bi])
+            a0n = a0[bi] + bet * (a[bi] - a0[bi])
+            return c0n, a0n
+
+        c0A, a0A = advance_body(bA)
+        c0B, a0B = advance_body(bB)
+
+        def upd(arr, i, val, on):
+            return arr.at[i].set(jnp.where(on, val, arr[i]))
+
+        c = upd(c, bA, c0A, act)
+        a = upd(a, bA, a0A, act)
+        c0 = upd(c0, bA, c0A, act)
+        a0 = upd(a0, bA, a0A, act)
+        alpha0 = upd(alpha0, bA, alpha_min, act)
+        c = upd(c, bB, c0B, act)
+        a = upd(a, bB, a0B, act)
+        c0 = upd(c0, bB, c0B, act)
+        a0 = upd(a0, bB, a0B, act)
+        alpha0 = upd(alpha0, bB, alpha_min, act)
+
+        # --- re-collide the pair at the TOI transforms
+        fa_k = ia[k]
+        fb_k = ib[k]
+        rows_a = _gather_rows(fx, fa_k)
+        rows_b = _gather_rows(fx, fb_k)
+        kind = nph.contact_kind(fx.shape_type[fa_k], fx.shape_type[fb_k])
+        qA = rot_from_angle(a[bA])
+        pA = c[bA] - rot_vec(qA, bodies.local_center[bA])
+        qB = rot_from_angle(a[bB])
+        pB = c[bB] - rot_vec(qB, bodies.local_center[bB])
+        man = nph.collide(kind, rows_a, pA, qA, rows_b, pB, qB)
+        hit = man.count > 0
+        # mark this pair consumed either way (reference bumps m_toiCount /
+        # disables non-touching TOI contacts for the rest of the step)
+        blocked = blocked.at[k].set(jnp.where(act, True, blocked[k]))
+
+        solve = act & hit
+        mA = jnp.where(bodies.is_dynamic[bA], bodies.inv_mass[bA], 0.0)
+        iA = jnp.where(bodies.is_dynamic[bA], bodies.inv_inertia[bA], 0.0)
+        mB = jnp.where(bodies.is_dynamic[bB], bodies.inv_mass[bB], 0.0)
+        iB = jnp.where(bodies.is_dynamic[bB], bodies.inv_inertia[bB], 0.0)
+        lcA = bodies.local_center[bA]
+        lcB = bodies.local_center[bB]
+        raf = fx.radius[fa_k]
+        rbf = fx.radius[fb_k]
+        pc_k = man.count
+        mpx = (man.points[0, 0], man.points[1, 0])
+        mpy = (man.points[0, 1], man.points[1, 1])
+
+        # --- TOI position sub-solve: 20 iterations, beta = 0.75
+        def pos_pass(_, pcar):
+            cax, cay, aa_, cbx, cby, ab_ = pcar
+            cax, cay, aa_, cbx, cby, ab_, _ = position_contact_math_s(
+                man.mtype, pc_k, mA, mB, iA, iB, raf, rbf,
+                lcA[0], lcA[1], lcB[0], lcB[1],
+                man.local_point[0], man.local_point[1],
+                man.local_normal[0], man.local_normal[1],
+                mpx, mpy, cax, cay, aa_, cbx, cby, ab_, solve,
+                settings.TOI_BAUMGARTE, settings.MAX_LINEAR_CORRECTION)
+            return cax, cay, aa_, cbx, cby, ab_
+
+        cax, cay, aa_, cbx, cby, ab_ = jax.lax.fori_loop(
+            0, 20, pos_pass,
+            (c[bA, 0], c[bA, 1], a[bA], c[bB, 0], c[bB, 1], a[bB]))
+
+        cA_new = jnp.stack([cax, cay])
+        cB_new = jnp.stack([cbx, cby])
+        c = upd(c, bA, cA_new, solve)
+        a = upd(a, bA, aa_, solve)
+        c = upd(c, bB, cB_new, solve)
+        a = upd(a, bB, ab_, solve)
+        # leap of faith (b2Island.cpp:468-471)
+        c0 = upd(c0, bA, cA_new, solve)
+        a0 = upd(a0, bA, aa_, solve)
+        c0 = upd(c0, bB, cB_new, solve)
+        a0 = upd(a0, bB, ab_, solve)
+
+        # --- velocity sub-solve (no warm start) at the TOI configuration
+        qA2 = rot_from_angle(a[bA])
+        pA2 = c[bA] - rot_vec(qA2, lcA)
+        qB2 = rot_from_angle(a[bB])
+        pB2 = c[bB] - rot_vec(qB2, lcB)
+        normal, pts, _ = csolver.world_manifold(
+            man.mtype, man.local_point, man.local_normal, man.points,
+            man.count, pA2, qA2, raf, pB2, qB2, rbf)
+        r_a = pts - c[bA][None, :]
+        r_b = pts - c[bB][None, :]
+        nx, ny = normal[0], normal[1]
+        rn_a = r_a[:, 0] * ny - r_a[:, 1] * nx
+        rn_b = r_b[:, 0] * ny - r_b[:, 1] * nx
+        k_n = mA + mB + iA * rn_a ** 2 + iB * rn_b ** 2
+        nm = jnp.where(k_n > 0.0, 1.0 / jnp.where(k_n > 0.0, k_n, 1.0), 0.0)
+        tx, ty = ny, -nx
+        rt_a = r_a[:, 0] * ty - r_a[:, 1] * tx
+        rt_b = r_b[:, 0] * ty - r_b[:, 1] * tx
+        k_t = mA + mB + iA * rt_a ** 2 + iB * rt_b ** 2
+        tm = jnp.where(k_t > 0.0, 1.0 / jnp.where(k_t > 0.0, k_t, 1.0), 0.0)
+        fric = jnp.sqrt(fx.friction[fa_k] * fx.friction[fb_k])
+        rest = jnp.maximum(fx.restitution[fa_k], fx.restitution[fb_k])
+        dvx = v[bB, 0] - w[bB] * r_b[:, 1] - v[bA, 0] + w[bA] * r_a[:, 1]
+        dvy = v[bB, 1] + w[bB] * r_b[:, 0] - v[bA, 1] - w[bA] * r_a[:, 0]
+        v_rel = dvx * nx + dvy * ny
+        bias = jnp.where(v_rel < -settings.VELOCITY_THRESHOLD, -rest * v_rel, 0.0)
+        k11 = k_n[0]
+        k22 = k_n[1]
+        k12 = mA + mB + iA * rn_a[0] * rn_a[1] + iB * rn_b[0] * rn_b[1]
+        det = k11 * k22 - k12 * k12
+        well = k11 * k11 < 1000.0 * det
+        pc2 = jnp.where((pc_k == 2) & ~well, 1, pc_k)
+        inv_det = jnp.where(det != 0.0, 1.0 / jnp.where(det != 0.0, det, 1.0), 0.0)
+
+        def vel_pass(_, vcar):
+            ni0, ni1, ti0, ti1, vax, vay, wa_, vbx, vby, wb_ = vcar
+            (ni0n, ni1n), (ti0n, ti1n), vax, vay, wa_, vbx, vby, wb_ = \
+                velocity_contact_math_s(
+                    fric, jnp.float32(0.0), mA, mB, iA, iB, nx, ny,
+                    (r_a[0, 0], r_a[1, 0]), (r_a[0, 1], r_a[1, 1]),
+                    (r_b[0, 0], r_b[1, 0]), (r_b[0, 1], r_b[1, 1]),
+                    (nm[0], nm[1]), (tm[0], tm[1]), (bias[0], bias[1]),
+                    k11, k12, k22, inv_det * k22, -inv_det * k12,
+                    inv_det * k11, pc2,
+                    (ni0, ni1), (ti0, ti1),
+                    vax, vay, wa_, vbx, vby, wb_, solve)
+            return ni0n, ni1n, ti0n, ti1n, vax, vay, wa_, vbx, vby, wb_
+
+        z = jnp.float32(0.0)
+        _, _, _, _, vax, vay, wa_, vbx, vby, wb_ = jax.lax.fori_loop(
+            0, velocity_iterations, vel_pass,
+            (z, z, z, z, v[bA, 0], v[bA, 1], w[bA], v[bB, 0], v[bB, 1], w[bB]))
+        v = upd(v, bA, jnp.stack([vax, vay]), solve)
+        w = upd(w, bA, wa_, solve)
+        v = upd(v, bB, jnp.stack([vbx, vby]), solve)
+        w = upd(w, bB, wb_, solve)
+
+        # --- complete the remainder of the step for the pair
+        h = (1.0 - alpha_min) * dt
+
+        def integrate_one(bi):
+            vv, ww = v[bi], w[bi]
+            t2 = h * h * (vv[0] ** 2 + vv[1] ** 2)
+            rat = jnp.where(t2 > settings.MAX_TRANSLATION_SQUARED,
+                            settings.MAX_TRANSLATION / jnp.sqrt(jnp.maximum(t2, 1e-30)), 1.0)
+            vv = vv * rat
+            rot = h * ww
+            ratr = jnp.where(rot * rot > settings.MAX_ROTATION_SQUARED,
+                             settings.MAX_ROTATION / jnp.abs(jnp.where(rot == 0.0, 1.0, rot)), 1.0)
+            ww = ww * ratr
+            dyn_i = bodies.is_dynamic[bi] | (bodies.body_type[bi] == settings.KINEMATIC_BODY)
+            return (jnp.where(dyn_i, c[bi] + h * vv, c[bi]),
+                    jnp.where(dyn_i, a[bi] + h * ww, a[bi]), vv, ww)
+
+        cA3, aA3, vA3, wA3 = integrate_one(bA)
+        cB3, aB3, vB3, wB3 = integrate_one(bB)
+        c = upd(c, bA, cA3, solve)
+        a = upd(a, bA, aA3, solve)
+        v = upd(v, bA, vA3, solve)
+        w = upd(w, bA, wA3, solve)
+        c = upd(c, bB, cB3, solve)
+        a = upd(a, bB, aB3, solve)
+        v = upd(v, bB, vB3, solve)
+        w = upd(w, bB, wB3, solve)
+
+        # wake the pair on impact
+        awake = awake.at[bA].set(jnp.where(solve & ~bodies.is_static[bA], True, awake[bA]))
+        awake = awake.at[bB].set(jnp.where(solve & ~bodies.is_static[bB], True, awake[bB]))
+        return c, a, c0, a0, alpha0, v, w, awake, blocked, done
+
+    blocked0 = contacts.toi_count >= settings.MAX_SUB_STEPS
+    carry = (bodies.c, bodies.a, bodies.c0, bodies.a0,
+             jnp.zeros(nb, jnp.float32), bodies.v, bodies.w, bodies.awake,
+             blocked0, jnp.bool_(False))
+    c, a, c0, a0, alpha0, v, w, awake, blocked, _ = jax.lax.fori_loop(
+        0, toi_rounds, round_body, carry)
+
+    bodies = dataclasses.replace(
+        state.bodies, c=c, a=a, c0=c0, a0=a0,
+        alpha0=jnp.zeros(nb, jnp.float32), v=v, w=w, awake=awake)
+    return dataclasses.replace(state, bodies=bodies)
+
+
 @partial(jax.jit, static_argnames=(
     "velocity_iterations", "position_iterations", "warm_starting",
-    "allow_sleep", "max_colors"))
+    "allow_sleep", "max_colors", "continuous", "toi_rounds"))
 def step(state: State, dt, velocity_iterations: int = 8,
          position_iterations: int = 3, warm_starting: bool = True,
-         allow_sleep: bool = True, max_colors: int = settings.MAX_COLORS
+         allow_sleep: bool = True, max_colors: int = settings.MAX_COLORS,
+         continuous: bool = True, toi_rounds: int = 8
          ) -> Tuple[State, Events]:
     dt = jnp.asarray(dt, jnp.float32)
     pre = _pre_solve(state, dt, warm_starting, max_colors)
     mids = _solve_middle_xla(state, pre, dt, velocity_iterations,
                              position_iterations, warm_starting, max_colors)
-    return _post_solve(state, pre, dt, allow_sleep, *mids)
+    new_state, events = _post_solve(state, pre, dt, allow_sleep, *mids)
+    if continuous and toi_rounds > 0:
+        new_state = _solve_toi(new_state, dt, velocity_iterations, toi_rounds)
+    return new_state, events
 
 
 @partial(jax.jit, static_argnames=(

@@ -54,7 +54,7 @@ def test_helloworld_terminal():
     st = scenes.hello_world()
     errs, st = _run_vs_golden(st, "helloworld_60.jsonl", 60, 6, 2, 2)
     assert errs[-1] < 5e-4          # settled state
-    assert max(errs) < 0.03         # impact transient (TOI pending)
+    assert max(errs) < 2e-3         # incl. the impact step (CCD active)
     # classic oracle: box rests at (0, ~1.015, 0)
     assert abs(float(st.bodies.xf_p[1, 1]) - 1.015) < 5e-3
 
