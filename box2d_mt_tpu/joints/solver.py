@@ -613,6 +613,720 @@ def _prismatic_position(blk, data, st, c, a, mask):
     return c, a, ok
 
 
+
+
+# ==========================================================================
+# mouse (b2MouseJoint.cpp) — soft target drag on body B
+# ==========================================================================
+
+
+class MouseData(NamedTuple):
+    com: _Common
+    r_b: jax.Array
+    m11: jax.Array
+    m12: jax.Array
+    m22: jax.Array
+    c_beta: jax.Array   # (J,2) beta * (cB + rB - target)
+    gamma: jax.Array
+
+
+def _mouse_init(blk, bodies, awake, color, dt_ratio, warm, dt):
+    com = _common(blk, bodies, awake, color)
+    qb = rot_from_angle(bodies.a[com.body_b])
+    r_b = rot_vec(qb, blk.local_anchor_b - com.lc_b)
+    mass_b = jnp.where(com.m_b > 0.0, 1.0 / jnp.where(com.m_b > 0.0, com.m_b, 1.0), 0.0)
+    omega = 2.0 * jnp.pi * blk.frequency
+    d = 2.0 * mass_b * blk.damping_ratio * omega
+    k = mass_b * omega * omega
+    gamma_raw = dt * (d + dt * k)
+    gamma = jnp.where(gamma_raw != 0.0, 1.0 / jnp.where(gamma_raw != 0.0, gamma_raw, 1.0), 0.0)
+    beta = dt * k * gamma
+    k11 = com.m_b + com.i_b * r_b[:, 1] ** 2 + gamma
+    k12 = -com.i_b * r_b[:, 0] * r_b[:, 1]
+    k22 = com.m_b + com.i_b * r_b[:, 0] ** 2 + gamma
+    det = k11 * k22 - k12 * k12
+    inv = jnp.where(det != 0.0, 1.0 / jnp.where(det != 0.0, det, 1.0), 0.0)
+    c_beta = beta[:, None] * (bodies.c[com.body_b] + r_b - blk.target)
+    imp = blk.impulse * dt_ratio if warm else jnp.zeros_like(blk.impulse)
+    data = MouseData(com, r_b, inv * k22, -inv * k12, inv * k11, c_beta, gamma)
+    return data, {"impulse": imp}
+
+
+def _mouse_warm(data, st, v, w, mask=None):
+    com = data.com
+    p = st["impulse"]
+    # reference also damps wB by 0.98 at init (b2MouseJoint.cpp wB *= 0.98f)
+    m = com.active if mask is None else com.active & mask
+    w = w.at[com.body_b].mul(jnp.where(m, 0.98, 1.0))
+    return _apply(com, v, w, jnp.ones_like(com.active) if mask is None else mask,
+                  jnp.zeros_like(p), jnp.zeros_like(com.i_a),
+                  com.m_b[:, None] * p, com.i_b * cross_vv(data.r_b, p))
+
+
+def _mouse_velocity(blk, data, st, v, w, dt, mask):
+    com = data.com
+    m = mask & com.active
+    vb = v[com.body_b]
+    wb = w[com.body_b]
+    cdot = vb + cross_sv(wb, data.r_b) + data.c_beta + data.gamma[:, None] * st["impulse"]
+    ix = -(data.m11 * cdot[:, 0] + data.m12 * cdot[:, 1])
+    iy = -(data.m12 * cdot[:, 0] + data.m22 * cdot[:, 1])
+    imp_new = st["impulse"] + jnp.stack([ix, iy], axis=1)
+    max_i = dt * blk.max_force
+    ln = jnp.sqrt(dot(imp_new, imp_new))
+    scale = jnp.where(ln > max_i, max_i / jnp.where(ln > 0, ln, 1.0), 1.0)
+    imp_new = imp_new * scale[:, None]
+    d_imp = jnp.where(m[:, None], imp_new - st["impulse"], 0.0)
+    imp_out = jnp.where(m[:, None], imp_new, st["impulse"])
+    v2, w2 = _apply(com, v, w, mask,
+                    jnp.zeros_like(d_imp), jnp.zeros_like(com.i_a),
+                    com.m_b[:, None] * d_imp, com.i_b * cross_vv(data.r_b, d_imp))
+    return {**st, "impulse": imp_out}, v2, w2
+
+
+def _mouse_position(blk, data, st, c, a, mask):
+    return c, a, jnp.ones_like(mask)   # no position correction
+
+
+# ==========================================================================
+# friction (b2FrictionJoint.cpp) — top-down friction
+# ==========================================================================
+
+
+class FrictionData(NamedTuple):
+    com: _Common
+    r_a: jax.Array
+    r_b: jax.Array
+    lm11: jax.Array
+    lm12: jax.Array
+    lm22: jax.Array
+    angular_mass: jax.Array
+
+
+def _lin22(com, r_a, r_b):
+    mA, mB, iA, iB = com.m_a, com.m_b, com.i_a, com.i_b
+    k11 = mA + mB + iA * r_a[:, 1] ** 2 + iB * r_b[:, 1] ** 2
+    k12 = -iA * r_a[:, 0] * r_a[:, 1] - iB * r_b[:, 0] * r_b[:, 1]
+    k22 = mA + mB + iA * r_a[:, 0] ** 2 + iB * r_b[:, 0] ** 2
+    det = k11 * k22 - k12 * k12
+    inv = jnp.where(det != 0.0, 1.0 / jnp.where(det != 0.0, det, 1.0), 0.0)
+    return inv * k22, -inv * k12, inv * k11
+
+
+def _friction_init(blk, bodies, awake, color, dt_ratio, warm):
+    com = _common(blk, bodies, awake, color)
+    qa = rot_from_angle(bodies.a[com.body_a])
+    qb = rot_from_angle(bodies.a[com.body_b])
+    r_a = rot_vec(qa, blk.local_anchor_a - com.lc_a)
+    r_b = rot_vec(qb, blk.local_anchor_b - com.lc_b)
+    lm11, lm12, lm22 = _lin22(com, r_a, r_b)
+    k33 = com.i_a + com.i_b
+    am = jnp.where(k33 > 0.0, 1.0 / jnp.where(k33 > 0.0, k33, 1.0), 0.0)
+    li = blk.linear_impulse * dt_ratio if warm else jnp.zeros_like(blk.linear_impulse)
+    ai = blk.angular_impulse * dt_ratio if warm else jnp.zeros_like(blk.angular_impulse)
+    return (FrictionData(com, r_a, r_b, lm11, lm12, lm22, am),
+            {"linear_impulse": li, "angular_impulse": ai})
+
+
+def _friction_warm(data, st, v, w, mask=None):
+    com = data.com
+    p = st["linear_impulse"]
+    ai = st["angular_impulse"]
+    return _apply(com, v, w,
+                  jnp.ones_like(com.active) if mask is None else mask,
+                  -com.m_a[:, None] * p, -com.i_a * (cross_vv(data.r_a, p) + ai),
+                  com.m_b[:, None] * p, com.i_b * (cross_vv(data.r_b, p) + ai))
+
+
+def _friction_velocity(blk, data, st, v, w, dt, mask):
+    com = data.com
+    m = mask & com.active
+    va, wa = v[com.body_a], w[com.body_a]
+    vb, wb = v[com.body_b], w[com.body_b]
+    # angular
+    cdot_a = wb - wa
+    lam = -data.angular_mass * cdot_a
+    max_a = dt * blk.max_torque
+    ai_new = jnp.clip(st["angular_impulse"] + lam, -max_a, max_a)
+    d_ai = jnp.where(m, ai_new - st["angular_impulse"], 0.0)
+    ai_out = jnp.where(m, ai_new, st["angular_impulse"])
+    wa = wa - com.i_a * d_ai
+    wb = wb + com.i_b * d_ai
+    # linear
+    cdot = vb + cross_sv(wb, data.r_b) - va - cross_sv(wa, data.r_a)
+    ix = -(data.lm11 * cdot[:, 0] + data.lm12 * cdot[:, 1])
+    iy = -(data.lm12 * cdot[:, 0] + data.lm22 * cdot[:, 1])
+    li_new = st["linear_impulse"] + jnp.stack([ix, iy], axis=1)
+    max_l = dt * blk.max_force
+    ln = jnp.sqrt(dot(li_new, li_new))
+    scale = jnp.where(ln > max_l, max_l / jnp.where(ln > 0, ln, 1.0), 1.0)
+    li_new = li_new * scale[:, None]
+    d_li = jnp.where(m[:, None], li_new - st["linear_impulse"], 0.0)
+    li_out = jnp.where(m[:, None], li_new, st["linear_impulse"])
+    va = va - com.m_a[:, None] * d_li
+    wa = wa - com.i_a * cross_vv(data.r_a, d_li)
+    vb = vb + com.m_b[:, None] * d_li
+    wb = wb + com.i_b * cross_vv(data.r_b, d_li)
+    v, w = _apply(com, v, w, mask,
+                  va - v[com.body_a], wa - w[com.body_a],
+                  vb - v[com.body_b], wb - w[com.body_b])
+    return {**st, "linear_impulse": li_out, "angular_impulse": ai_out}, v, w
+
+
+def _friction_position(blk, data, st, c, a, mask):
+    return c, a, jnp.ones_like(mask)
+
+
+# ==========================================================================
+# rope (b2RopeJoint.cpp) — max-length inequality
+# ==========================================================================
+
+
+class RopeData(NamedTuple):
+    com: _Common
+    r_a: jax.Array
+    r_b: jax.Array
+    u: jax.Array
+    mass: jax.Array
+    length: jax.Array
+
+
+def _rope_init(blk, bodies, awake, color, dt_ratio, warm):
+    com = _common(blk, bodies, awake, color)
+    qa = rot_from_angle(bodies.a[com.body_a])
+    qb = rot_from_angle(bodies.a[com.body_b])
+    r_a = rot_vec(qa, blk.local_anchor_a - com.lc_a)
+    r_b = rot_vec(qb, blk.local_anchor_b - com.lc_b)
+    u = bodies.c[com.body_b] + r_b - bodies.c[com.body_a] - r_a
+    length = jnp.sqrt(dot(u, u))
+    short = length <= settings.LINEAR_SLOP
+    u = jnp.where(short[:, None], 0.0, u / jnp.where(length > 0, length, 1.0)[:, None])
+    cr_a = cross_vv(r_a, u)
+    cr_b = cross_vv(r_b, u)
+    inv_mass = com.m_a + com.i_a * cr_a ** 2 + com.m_b + com.i_b * cr_b ** 2
+    mass = jnp.where(short | (inv_mass == 0.0), 0.0,
+                     1.0 / jnp.where(inv_mass != 0.0, inv_mass, 1.0))
+    imp = blk.impulse * dt_ratio if warm else jnp.zeros_like(blk.impulse)
+    imp = jnp.where(short, 0.0, imp)
+    return RopeData(com, r_a, r_b, u, mass, length), {"impulse": imp}
+
+
+def _rope_warm(data, st, v, w, mask=None):
+    com = data.com
+    p = st["impulse"][:, None] * data.u
+    return _apply(com, v, w,
+                  jnp.ones_like(com.active) if mask is None else mask,
+                  -com.m_a[:, None] * p, -com.i_a * cross_vv(data.r_a, p),
+                  com.m_b[:, None] * p, com.i_b * cross_vv(data.r_b, p))
+
+
+def _rope_velocity(blk, data, st, v, w, dt, mask):
+    com = data.com
+    m = mask & com.active
+    vp_a = v[com.body_a] + cross_sv(w[com.body_a], data.r_a)
+    vp_b = v[com.body_b] + cross_sv(w[com.body_b], data.r_b)
+    c_err = data.length - blk.max_length
+    cdot = dot(data.u, vp_b - vp_a)
+    cdot = cdot + jnp.where(c_err < 0.0, (1.0 / dt) * c_err, 0.0)
+    lam = -data.mass * cdot
+    imp_new = jnp.minimum(0.0, st["impulse"] + lam)
+    d_imp = jnp.where(m, imp_new - st["impulse"], 0.0)
+    imp_out = jnp.where(m, imp_new, st["impulse"])
+    p = d_imp[:, None] * data.u
+    v, w = _apply(com, v, w, mask,
+                  -com.m_a[:, None] * p, -com.i_a * cross_vv(data.r_a, p),
+                  com.m_b[:, None] * p, com.i_b * cross_vv(data.r_b, p))
+    return {**st, "impulse": imp_out}, v, w
+
+
+def _rope_position(blk, data, st, c, a, mask):
+    com = data.com
+    m = mask & com.active
+    qa = rot_from_angle(a[com.body_a])
+    qb = rot_from_angle(a[com.body_b])
+    r_a = rot_vec(qa, blk.local_anchor_a - com.lc_a)
+    r_b = rot_vec(qb, blk.local_anchor_b - com.lc_b)
+    u = c[com.body_b] + r_b - c[com.body_a] - r_a
+    length = jnp.sqrt(dot(u, u))
+    u = u / jnp.where(length > 0, length, 1.0)[:, None]
+    cc = jnp.clip(length - blk.max_length, 0.0, settings.MAX_LINEAR_CORRECTION)
+    lam = jnp.where(m, -data.mass * cc, 0.0)
+    p = lam[:, None] * u
+    c = c.at[com.body_a].add(jnp.where(m[:, None], -com.m_a[:, None] * p, 0.0))
+    a = a.at[com.body_a].add(jnp.where(m, -com.i_a * cross_vv(r_a, p), 0.0))
+    c = c.at[com.body_b].add(jnp.where(m[:, None], com.m_b[:, None] * p, 0.0))
+    a = a.at[com.body_b].add(jnp.where(m, com.i_b * cross_vv(r_b, p), 0.0))
+    ok = (length - blk.max_length < settings.LINEAR_SLOP) | ~m
+    return c, a, ok
+
+
+# ==========================================================================
+# motor (b2MotorJoint.cpp) — drive relative transform to target offsets
+# ==========================================================================
+
+
+class MotorData(NamedTuple):
+    com: _Common
+    r_a: jax.Array
+    r_b: jax.Array
+    lm11: jax.Array
+    lm12: jax.Array
+    lm22: jax.Array
+    angular_mass: jax.Array
+    linear_error: jax.Array   # (J,2)
+    angular_error: jax.Array
+
+
+def _motor_init(blk, bodies, awake, color, dt_ratio, warm):
+    com = _common(blk, bodies, awake, color)
+    qa = rot_from_angle(bodies.a[com.body_a])
+    qb = rot_from_angle(bodies.a[com.body_b])
+    r_a = rot_vec(qa, blk.linear_offset - com.lc_a)
+    r_b = rot_vec(qb, -com.lc_b)
+    lm11, lm12, lm22 = _lin22(com, r_a, r_b)
+    k33 = com.i_a + com.i_b
+    am = jnp.where(k33 > 0.0, 1.0 / jnp.where(k33 > 0.0, k33, 1.0), 0.0)
+    lin_err = bodies.c[com.body_b] + r_b - bodies.c[com.body_a] - r_a
+    ang_err = bodies.a[com.body_b] - bodies.a[com.body_a] - blk.angular_offset
+    li = blk.linear_impulse * dt_ratio if warm else jnp.zeros_like(blk.linear_impulse)
+    ai = blk.angular_impulse * dt_ratio if warm else jnp.zeros_like(blk.angular_impulse)
+    return (MotorData(com, r_a, r_b, lm11, lm12, lm22, am, lin_err, ang_err),
+            {"linear_impulse": li, "angular_impulse": ai})
+
+
+_motor_warm = _friction_warm
+
+
+def _motor_velocity(blk, data, st, v, w, dt, mask):
+    com = data.com
+    m = mask & com.active
+    inv_h = 1.0 / dt
+    va, wa = v[com.body_a], w[com.body_a]
+    vb, wb = v[com.body_b], w[com.body_b]
+    cdot_a = wb - wa + inv_h * blk.correction_factor * data.angular_error
+    lam = -data.angular_mass * cdot_a
+    max_a = dt * blk.max_torque
+    ai_new = jnp.clip(st["angular_impulse"] + lam, -max_a, max_a)
+    d_ai = jnp.where(m, ai_new - st["angular_impulse"], 0.0)
+    ai_out = jnp.where(m, ai_new, st["angular_impulse"])
+    wa = wa - com.i_a * d_ai
+    wb = wb + com.i_b * d_ai
+    cdot = (vb + cross_sv(wb, data.r_b) - va - cross_sv(wa, data.r_a)
+            + inv_h * blk.correction_factor[:, None] * data.linear_error)
+    ix = -(data.lm11 * cdot[:, 0] + data.lm12 * cdot[:, 1])
+    iy = -(data.lm12 * cdot[:, 0] + data.lm22 * cdot[:, 1])
+    li_new = st["linear_impulse"] + jnp.stack([ix, iy], axis=1)
+    max_l = dt * blk.max_force
+    ln = jnp.sqrt(dot(li_new, li_new))
+    scale = jnp.where(ln > max_l, max_l / jnp.where(ln > 0, ln, 1.0), 1.0)
+    li_new = li_new * scale[:, None]
+    d_li = jnp.where(m[:, None], li_new - st["linear_impulse"], 0.0)
+    li_out = jnp.where(m[:, None], li_new, st["linear_impulse"])
+    va = va - com.m_a[:, None] * d_li
+    wa = wa - com.i_a * cross_vv(data.r_a, d_li)
+    vb = vb + com.m_b[:, None] * d_li
+    wb = wb + com.i_b * cross_vv(data.r_b, d_li)
+    v, w = _apply(com, v, w, mask,
+                  va - v[com.body_a], wa - w[com.body_a],
+                  vb - v[com.body_b], wb - w[com.body_b])
+    return {**st, "linear_impulse": li_out, "angular_impulse": ai_out}, v, w
+
+
+def _motor_position(blk, data, st, c, a, mask):
+    return c, a, jnp.ones_like(mask)
+
+
+# ==========================================================================
+# weld (b2WeldJoint.cpp) — rigid 3-DOF lock with optional softness
+# ==========================================================================
+
+
+class WeldData(NamedTuple):
+    com: _Common
+    r_a: jax.Array
+    r_b: jax.Array
+    k11: jax.Array
+    k12: jax.Array
+    k13: jax.Array
+    k22: jax.Array
+    k23: jax.Array
+    k33: jax.Array
+    ez_mass: jax.Array   # soft angular mass (1 / (iA+iB+gamma))
+    gamma: jax.Array
+    bias: jax.Array
+    soft: jax.Array
+
+
+def _weld_init(blk, bodies, awake, color, dt_ratio, warm, dt):
+    com = _common(blk, bodies, awake, color)
+    qa = rot_from_angle(bodies.a[com.body_a])
+    qb = rot_from_angle(bodies.a[com.body_b])
+    r_a = rot_vec(qa, blk.local_anchor_a - com.lc_a)
+    r_b = rot_vec(qb, blk.local_anchor_b - com.lc_b)
+    mA, mB, iA, iB = com.m_a, com.m_b, com.i_a, com.i_b
+    k11 = mA + mB + r_a[:, 1] ** 2 * iA + r_b[:, 1] ** 2 * iB
+    k12 = -r_a[:, 1] * r_a[:, 0] * iA - r_b[:, 1] * r_b[:, 0] * iB
+    k13 = -r_a[:, 1] * iA - r_b[:, 1] * iB
+    k22 = mA + mB + r_a[:, 0] ** 2 * iA + r_b[:, 0] ** 2 * iB
+    k23 = r_a[:, 0] * iA + r_b[:, 0] * iB
+    k33 = iA + iB
+    soft = blk.frequency > 0.0
+    inv_m = jnp.where(k33 > 0.0, 1.0 / jnp.where(k33 > 0.0, k33, 1.0), 0.0)
+    cc = bodies.a[com.body_b] - bodies.a[com.body_a] - blk.reference_angle
+    omega = 2.0 * jnp.pi * blk.frequency
+    d = 2.0 * inv_m * blk.damping_ratio * omega
+    kk = inv_m * omega * omega
+    gamma_raw = dt * (d + dt * kk)
+    gamma = jnp.where(gamma_raw != 0.0, 1.0 / jnp.where(gamma_raw != 0.0, gamma_raw, 1.0), 0.0)
+    bias = cc * dt * kk * gamma
+    ez_raw = k33 + gamma
+    ez_mass = jnp.where(ez_raw != 0.0, 1.0 / jnp.where(ez_raw != 0.0, ez_raw, 1.0), 0.0)
+    gamma = jnp.where(soft, gamma, 0.0)
+    bias = jnp.where(soft, bias, 0.0)
+    imp = blk.impulse * dt_ratio if warm else jnp.zeros_like(blk.impulse)
+    data = WeldData(com, r_a, r_b, k11, k12, k13, k22, k23, k33,
+                    ez_mass, gamma, bias, soft)
+    return data, {"impulse": imp}
+
+
+def _weld_warm(data, st, v, w, mask=None):
+    com = data.com
+    imp = st["impulse"]
+    p = imp[:, :2]
+    return _apply(com, v, w,
+                  jnp.ones_like(com.active) if mask is None else mask,
+                  -com.m_a[:, None] * p,
+                  -com.i_a * (cross_vv(data.r_a, p) + imp[:, 2]),
+                  com.m_b[:, None] * p,
+                  com.i_b * (cross_vv(data.r_b, p) + imp[:, 2]))
+
+
+def _weld_velocity(blk, data, st, v, w, dt, mask):
+    com = data.com
+    m = mask & com.active
+    va, wa = v[com.body_a], w[com.body_a]
+    vb, wb = v[com.body_b], w[com.body_b]
+    imp = st["impulse"]
+
+    # soft path: angular spring then 2x2 linear
+    cdot2_s = wb - wa
+    i2 = -data.ez_mass * (cdot2_s + data.bias + data.gamma * imp[:, 2])
+    wa_s = wa - com.i_a * i2
+    wb_s = wb + com.i_b * i2
+    cdot1_s = vb + cross_sv(wb_s, data.r_b) - va - cross_sv(wa_s, data.r_a)
+    sx, sy = _solve22(data.k11, data.k12, data.k22,
+                      -cdot1_s[:, 0], -cdot1_s[:, 1])
+    imp_soft = jnp.stack([imp[:, 0] + sx, imp[:, 1] + sy, imp[:, 2] + i2], axis=1)
+
+    # rigid path: full 3x3
+    cdot1_r = vb + cross_sv(wb, data.r_b) - va - cross_sv(wa, data.r_a)
+    cdot2_r = wb - wa
+    rx, ry, rz = _solve33(data.k11, data.k12, data.k13, data.k22, data.k23,
+                          data.k33, -cdot1_r[:, 0], -cdot1_r[:, 1], -cdot2_r)
+    imp_rigid = jnp.stack([imp[:, 0] + rx, imp[:, 1] + ry, imp[:, 2] + rz], axis=1)
+
+    imp_new = jnp.where(data.soft[:, None], imp_soft, imp_rigid)
+    imp_new = jnp.where(m[:, None], imp_new, imp)
+    d_imp = imp_new - imp
+    p = d_imp[:, :2]
+    va = va - com.m_a[:, None] * p
+    wa = wa - com.i_a * (cross_vv(data.r_a, p) + d_imp[:, 2])
+    vb = vb + com.m_b[:, None] * p
+    wb = wb + com.i_b * (cross_vv(data.r_b, p) + d_imp[:, 2])
+    v, w = _apply(com, v, w, mask,
+                  va - v[com.body_a], wa - w[com.body_a],
+                  vb - v[com.body_b], wb - w[com.body_b])
+    return {**st, "impulse": imp_new}, v, w
+
+
+def _weld_position(blk, data, st, c, a, mask):
+    com = data.com
+    m = mask & com.active
+    ca, aa = c[com.body_a], a[com.body_a]
+    cb, ab = c[com.body_b], a[com.body_b]
+    qa = rot_from_angle(aa)
+    qb = rot_from_angle(ab)
+    r_a = rot_vec(qa, blk.local_anchor_a - com.lc_a)
+    r_b = rot_vec(qb, blk.local_anchor_b - com.lc_b)
+    mA, mB, iA, iB = com.m_a, com.m_b, com.i_a, com.i_b
+    k11 = mA + mB + r_a[:, 1] ** 2 * iA + r_b[:, 1] ** 2 * iB
+    k12 = -r_a[:, 1] * r_a[:, 0] * iA - r_b[:, 1] * r_b[:, 0] * iB
+    k13 = -r_a[:, 1] * iA - r_b[:, 1] * iB
+    k22 = mA + mB + r_a[:, 0] ** 2 * iA + r_b[:, 0] ** 2 * iB
+    k23 = r_a[:, 0] * iA + r_b[:, 0] * iB
+    k33 = iA + iB
+    c1 = cb + r_b - ca - r_a
+    c2 = ab - aa - blk.reference_angle
+    pos_err = jnp.sqrt(dot(c1, c1))
+    # rigid: 3x3 (or 2x2 if k33 == 0); soft: 2x2, no angular correction
+    r3x, r3y, r3z = _solve33(k11, k12, k13, k22, k23, k33,
+                             -c1[:, 0], -c1[:, 1], -c2)
+    r2x, r2y = _solve22(k11, k12, k22, -c1[:, 0], -c1[:, 1])
+    use2 = data.soft | (k33 == 0.0)
+    px = jnp.where(use2, r2x, r3x)
+    py = jnp.where(use2, r2y, r3y)
+    pz = jnp.where(use2, 0.0, r3z)
+    ang_err = jnp.where(data.soft, 0.0, jnp.abs(c2))
+    p = jnp.stack([px, py], axis=1)
+    p = jnp.where(m[:, None], p, 0.0)
+    pz = jnp.where(m, pz, 0.0)
+    c = c.at[com.body_a].add(-mA[:, None] * p)
+    a = a.at[com.body_a].add(-iA * (cross_vv(r_a, p) + pz))
+    c = c.at[com.body_b].add(mB[:, None] * p)
+    a = a.at[com.body_b].add(iB * (cross_vv(r_b, p) + pz))
+    ok = ((pos_err <= settings.LINEAR_SLOP) &
+          (ang_err <= settings.ANGULAR_SLOP)) | ~m
+    return c, a, ok
+
+
+
+
+# ==========================================================================
+# wheel (b2WheelJoint.cpp) — suspension axis + spring + motor
+# ==========================================================================
+
+
+class WheelData(NamedTuple):
+    com: _Common
+    ax: jax.Array
+    ay: jax.Array
+    s_ax: jax.Array
+    s_bx: jax.Array
+    s_ay: jax.Array
+    s_by: jax.Array
+    mass: jax.Array
+    spring_mass: jax.Array
+    motor_mass: jax.Array
+    bias: jax.Array
+    gamma: jax.Array
+
+
+def _wheel_init(blk, bodies, awake, color, dt_ratio, warm, dt):
+    com = _common(blk, bodies, awake, color)
+    qa = rot_from_angle(bodies.a[com.body_a])
+    qb = rot_from_angle(bodies.a[com.body_b])
+    r_a = rot_vec(qa, blk.local_anchor_a - com.lc_a)
+    r_b = rot_vec(qb, blk.local_anchor_b - com.lc_b)
+    d = bodies.c[com.body_b] + r_b - bodies.c[com.body_a] - r_a
+    mA, mB, iA, iB = com.m_a, com.m_b, com.i_a, com.i_b
+
+    local_y = jnp.stack([-blk.local_axis_a[:, 1], blk.local_axis_a[:, 0]], axis=1)
+    ay = rot_vec(qa, local_y)
+    s_ay = cross_vv(d + r_a, ay)
+    s_by = cross_vv(r_b, ay)
+    mass_raw = mA + mB + iA * s_ay ** 2 + iB * s_by ** 2
+    mass = jnp.where(mass_raw > 0.0, 1.0 / jnp.where(mass_raw > 0.0, mass_raw, 1.0), 0.0)
+
+    ax = rot_vec(qa, blk.local_axis_a)
+    s_ax = cross_vv(d + r_a, ax)
+    s_bx = cross_vv(r_b, ax)
+    inv_m = mA + mB + iA * s_ax ** 2 + iB * s_bx ** 2
+    sm0 = jnp.where(inv_m > 0.0, 1.0 / jnp.where(inv_m > 0.0, inv_m, 1.0), 0.0)
+    cc = dot(d, ax)
+    omega = 2.0 * jnp.pi * blk.frequency
+    damp = 2.0 * sm0 * blk.damping_ratio * omega
+    k = sm0 * omega * omega
+    gamma_raw = dt * (damp + dt * k)
+    gamma = jnp.where(gamma_raw > 0.0, 1.0 / jnp.where(gamma_raw > 0.0, gamma_raw, 1.0), 0.0)
+    bias = cc * dt * k * gamma
+    sm_raw = inv_m + gamma
+    spring_mass = jnp.where(sm_raw > 0.0, 1.0 / jnp.where(sm_raw > 0.0, sm_raw, 1.0), 0.0)
+    has_spring = (blk.frequency > 0.0) & (inv_m > 0.0)
+    spring_mass = jnp.where(has_spring, spring_mass, 0.0)
+    bias = jnp.where(has_spring, bias, 0.0)
+    gamma = jnp.where(has_spring, gamma, 0.0)
+
+    mm_raw = iA + iB
+    motor_mass = jnp.where(blk.enable_motor & (mm_raw > 0.0),
+                           1.0 / jnp.where(mm_raw > 0.0, mm_raw, 1.0), 0.0)
+
+    imp = blk.impulse * dt_ratio if warm else jnp.zeros_like(blk.impulse)
+    si = blk.spring_impulse * dt_ratio if warm else jnp.zeros_like(blk.spring_impulse)
+    si = jnp.where(blk.frequency > 0.0, si, 0.0)
+    mi = blk.motor_impulse * dt_ratio if warm else jnp.zeros_like(blk.motor_impulse)
+    mi = jnp.where(blk.enable_motor, mi, 0.0)
+    data = WheelData(com, ax, ay, s_ax, s_bx, s_ay, s_by, mass, spring_mass,
+                     motor_mass, bias, gamma)
+    return data, {"impulse": imp, "spring_impulse": si, "motor_impulse": mi}
+
+
+def _wheel_warm(data, st, v, w, mask=None):
+    com = data.com
+    p = st["impulse"][:, None] * data.ay + st["spring_impulse"][:, None] * data.ax
+    l_a = st["impulse"] * data.s_ay + st["spring_impulse"] * data.s_ax + st["motor_impulse"]
+    l_b = st["impulse"] * data.s_by + st["spring_impulse"] * data.s_bx + st["motor_impulse"]
+    return _apply(com, v, w,
+                  jnp.ones_like(com.active) if mask is None else mask,
+                  -com.m_a[:, None] * p, -com.i_a * l_a,
+                  com.m_b[:, None] * p, com.i_b * l_b)
+
+
+def _wheel_velocity(blk, data, st, v, w, dt, mask):
+    com = data.com
+    m = mask & com.active
+    va, wa = v[com.body_a], w[com.body_a]
+    vb, wb = v[com.body_b], w[com.body_b]
+    mA, mB, iA, iB = com.m_a, com.m_b, com.i_a, com.i_b
+
+    # spring
+    cdot = dot(data.ax, vb - va) + data.s_bx * wb - data.s_ax * wa
+    lam = -data.spring_mass * (cdot + data.bias + data.gamma * st["spring_impulse"])
+    lam = jnp.where(m, lam, 0.0)
+    si = st["spring_impulse"] + lam
+    p = lam[:, None] * data.ax
+    va = va - mA[:, None] * p
+    wa = wa - iA * lam * data.s_ax
+    vb = vb + mB[:, None] * p
+    wb = wb + iB * lam * data.s_bx
+
+    # motor
+    cdot = wb - wa - blk.motor_speed
+    lam = -data.motor_mass * cdot
+    max_i = dt * blk.max_motor_torque
+    mi_new = jnp.clip(st["motor_impulse"] + lam, -max_i, max_i)
+    dlam = jnp.where(m & blk.enable_motor, mi_new - st["motor_impulse"], 0.0)
+    mi = jnp.where(m & blk.enable_motor, mi_new, st["motor_impulse"])
+    wa = wa - iA * dlam
+    wb = wb + iB * dlam
+
+    # point-on-line
+    cdot = dot(data.ay, vb - va) + data.s_by * wb - data.s_ay * wa
+    lam = jnp.where(m, -data.mass * cdot, 0.0)
+    imp = st["impulse"] + lam
+    p = lam[:, None] * data.ay
+    va = va - mA[:, None] * p
+    wa = wa - iA * lam * data.s_ay
+    vb = vb + mB[:, None] * p
+    wb = wb + iB * lam * data.s_by
+
+    v, w = _apply(com, v, w, mask,
+                  va - v[com.body_a], wa - w[com.body_a],
+                  vb - v[com.body_b], wb - w[com.body_b])
+    return {**st, "impulse": imp, "spring_impulse": si, "motor_impulse": mi}, v, w
+
+
+def _wheel_position(blk, data, st, c, a, mask):
+    com = data.com
+    m = mask & com.active
+    qa = rot_from_angle(a[com.body_a])
+    qb = rot_from_angle(a[com.body_b])
+    r_a = rot_vec(qa, blk.local_anchor_a - com.lc_a)
+    r_b = rot_vec(qb, blk.local_anchor_b - com.lc_b)
+    d = c[com.body_b] - c[com.body_a] + r_b - r_a
+    local_y = jnp.stack([-blk.local_axis_a[:, 1], blk.local_axis_a[:, 0]], axis=1)
+    ay = rot_vec(qa, local_y)
+    s_ay = cross_vv(d + r_a, ay)
+    s_by = cross_vv(r_b, ay)
+    cc = dot(d, ay)
+    k = com.m_a + com.m_b + com.i_a * data.s_ay ** 2 + com.i_b * data.s_by ** 2
+    lam = jnp.where(m & (k != 0.0), -cc / jnp.where(k != 0.0, k, 1.0), 0.0)
+    p = lam[:, None] * ay
+    c = c.at[com.body_a].add(jnp.where(m[:, None], -com.m_a[:, None] * p, 0.0))
+    a = a.at[com.body_a].add(jnp.where(m, -com.i_a * lam * s_ay, 0.0))
+    c = c.at[com.body_b].add(jnp.where(m[:, None], com.m_b[:, None] * p, 0.0))
+    a = a.at[com.body_b].add(jnp.where(m, com.i_b * lam * s_by, 0.0))
+    ok = (jnp.abs(cc) <= settings.LINEAR_SLOP) | ~m
+    return c, a, ok
+
+
+# ==========================================================================
+# pulley (b2PulleyJoint.cpp) — two-anchor ratio rope
+# ==========================================================================
+
+
+class PulleyData(NamedTuple):
+    com: _Common
+    r_a: jax.Array
+    r_b: jax.Array
+    u_a: jax.Array
+    u_b: jax.Array
+    mass: jax.Array
+
+
+def _pulley_init(blk, bodies, awake, color, dt_ratio, warm):
+    com = _common(blk, bodies, awake, color)
+    qa = rot_from_angle(bodies.a[com.body_a])
+    qb = rot_from_angle(bodies.a[com.body_b])
+    r_a = rot_vec(qa, blk.local_anchor_a - com.lc_a)
+    r_b = rot_vec(qb, blk.local_anchor_b - com.lc_b)
+    u_a = bodies.c[com.body_a] + r_a - blk.ground_anchor_a
+    u_b = bodies.c[com.body_b] + r_b - blk.ground_anchor_b
+    la = jnp.sqrt(dot(u_a, u_a))
+    lb = jnp.sqrt(dot(u_b, u_b))
+    u_a = jnp.where((la > 10.0 * settings.LINEAR_SLOP)[:, None],
+                    u_a / jnp.where(la > 0, la, 1.0)[:, None], 0.0)
+    u_b = jnp.where((lb > 10.0 * settings.LINEAR_SLOP)[:, None],
+                    u_b / jnp.where(lb > 0, lb, 1.0)[:, None], 0.0)
+    ru_a = cross_vv(r_a, u_a)
+    ru_b = cross_vv(r_b, u_b)
+    m_a = com.m_a + com.i_a * ru_a ** 2
+    m_b = com.m_b + com.i_b * ru_b ** 2
+    mass_raw = m_a + blk.ratio ** 2 * m_b
+    mass = jnp.where(mass_raw > 0.0, 1.0 / jnp.where(mass_raw > 0.0, mass_raw, 1.0), 0.0)
+    imp = blk.impulse * dt_ratio if warm else jnp.zeros_like(blk.impulse)
+    return (PulleyData(com, r_a, r_b, u_a, u_b, mass),
+            {"impulse": imp, "ratio": blk.ratio})
+
+
+def _pulley_warm(data, st, v, w, mask=None):
+    com = data.com
+    pa = -st["impulse"][:, None] * data.u_a
+    pb = (-st["ratio"] * st["impulse"])[:, None] * data.u_b
+    return _apply(com, v, w,
+                  jnp.ones_like(com.active) if mask is None else mask,
+                  com.m_a[:, None] * pa, com.i_a * cross_vv(data.r_a, pa),
+                  com.m_b[:, None] * pb, com.i_b * cross_vv(data.r_b, pb))
+
+
+def _pulley_velocity(blk, data, st, v, w, dt, mask):
+    com = data.com
+    m = mask & com.active
+    vp_a = v[com.body_a] + cross_sv(w[com.body_a], data.r_a)
+    vp_b = v[com.body_b] + cross_sv(w[com.body_b], data.r_b)
+    cdot = -dot(data.u_a, vp_a) - blk.ratio * dot(data.u_b, vp_b)
+    lam = jnp.where(m, -data.mass * cdot, 0.0)
+    imp = st["impulse"] + lam
+    pa = -lam[:, None] * data.u_a
+    pb = (-blk.ratio * lam)[:, None] * data.u_b
+    v, w = _apply(com, v, w, mask,
+                  com.m_a[:, None] * pa, com.i_a * cross_vv(data.r_a, pa),
+                  com.m_b[:, None] * pb, com.i_b * cross_vv(data.r_b, pb))
+    return {**st, "impulse": imp}, v, w
+
+
+def _pulley_position(blk, data, st, c, a, mask):
+    com = data.com
+    m = mask & com.active
+    qa = rot_from_angle(a[com.body_a])
+    qb = rot_from_angle(a[com.body_b])
+    r_a = rot_vec(qa, blk.local_anchor_a - com.lc_a)
+    r_b = rot_vec(qb, blk.local_anchor_b - com.lc_b)
+    u_a = c[com.body_a] + r_a - blk.ground_anchor_a
+    u_b = c[com.body_b] + r_b - blk.ground_anchor_b
+    la = jnp.sqrt(dot(u_a, u_a))
+    lb = jnp.sqrt(dot(u_b, u_b))
+    u_a = jnp.where((la > 10.0 * settings.LINEAR_SLOP)[:, None],
+                    u_a / jnp.where(la > 0, la, 1.0)[:, None], 0.0)
+    u_b = jnp.where((lb > 10.0 * settings.LINEAR_SLOP)[:, None],
+                    u_b / jnp.where(lb > 0, lb, 1.0)[:, None], 0.0)
+    ru_a = cross_vv(r_a, u_a)
+    ru_b = cross_vv(r_b, u_b)
+    m_a = com.m_a + com.i_a * ru_a ** 2
+    m_b = com.m_b + com.i_b * ru_b ** 2
+    mass_raw = m_a + blk.ratio ** 2 * m_b
+    mass = jnp.where(mass_raw > 0.0, 1.0 / jnp.where(mass_raw > 0.0, mass_raw, 1.0), 0.0)
+    cc = (blk.length_a + blk.ratio * blk.length_b) - la - blk.ratio * lb
+    lam = jnp.where(m, -mass * cc, 0.0)
+    pa = -lam[:, None] * u_a
+    pb = (-blk.ratio * lam)[:, None] * u_b
+    c = c.at[com.body_a].add(jnp.where(m[:, None], com.m_a[:, None] * pa, 0.0))
+    a = a.at[com.body_a].add(jnp.where(m, com.i_a * cross_vv(r_a, pa), 0.0))
+    c = c.at[com.body_b].add(jnp.where(m[:, None], com.m_b[:, None] * pb, 0.0))
+    a = a.at[com.body_b].add(jnp.where(m, com.i_b * cross_vv(r_b, pb), 0.0))
+    ok = (jnp.abs(cc) < settings.LINEAR_SLOP) | ~m
+    return c, a, ok
+
+
 # ==========================================================================
 # registry / dispatcher
 # ==========================================================================
@@ -629,15 +1343,13 @@ def init_joints(joints, bodies, awake, v, w, dt, dt_ratio, warm_starting,
                 nb, max_colors):
     """Color all joints jointly, init per-type data. Returns (data, state)."""
     blocks = []
-    for name in ("revolute", "distance", "prismatic"):
+    for name in ("revolute", "distance", "prismatic", "mouse", "weld",
+                 "friction", "rope", "motor", "wheel", "pulley"):
         blk = getattr(joints, name)
         if blk.body_a.shape[0] > 0:
             blocks.append((name, blk))
-    for name in ("mouse", "weld", "friction", "rope", "motor", "wheel",
-                 "pulley", "gear"):
-        blk = getattr(joints, name)
-        if blk.body_a.shape[0] > 0:
-            raise NotImplementedError(f"{name} joints not yet solved")
+    if joints.gear.body_a.shape[0] > 0:
+        raise NotImplementedError("gear joints not yet solved")
 
     ba = jnp.concatenate([b.body_a for _, b in blocks])
     bb = jnp.concatenate([b.body_b for _, b in blocks])
@@ -666,6 +1378,27 @@ def init_joints(joints, bodies, awake, v, w, dt, dt_ratio, warm_starting,
         elif name == "prismatic":
             d, s = _prismatic_init(blk, bodies, awake, colors[name], dt_ratio,
                                    warm_starting)
+        elif name == "mouse":
+            d, s = _mouse_init(blk, bodies, awake, colors[name], dt_ratio,
+                               warm_starting, dt)
+        elif name == "weld":
+            d, s = _weld_init(blk, bodies, awake, colors[name], dt_ratio,
+                              warm_starting, dt)
+        elif name == "friction":
+            d, s = _friction_init(blk, bodies, awake, colors[name], dt_ratio,
+                                  warm_starting)
+        elif name == "rope":
+            d, s = _rope_init(blk, bodies, awake, colors[name], dt_ratio,
+                              warm_starting)
+        elif name == "motor":
+            d, s = _motor_init(blk, bodies, awake, colors[name], dt_ratio,
+                               warm_starting)
+        elif name == "wheel":
+            d, s = _wheel_init(blk, bodies, awake, colors[name], dt_ratio,
+                               warm_starting, dt)
+        elif name == "pulley":
+            d, s = _pulley_init(blk, bodies, awake, colors[name], dt_ratio,
+                                warm_starting)
         data[name] = (blk, d)
         state[name] = s
     return data, state
@@ -675,7 +1408,10 @@ def warm_start_joints(jdata, jstate, v, w):
     for name in jdata["_names"]:
         blk, d = jdata[name]
         fn = {"revolute": _revolute_warm, "distance": _distance_warm,
-              "prismatic": _prismatic_warm}[name]
+              "prismatic": _prismatic_warm, "mouse": _mouse_warm,
+              "weld": _weld_warm, "friction": _friction_warm,
+              "rope": _rope_warm, "motor": _motor_warm,
+              "wheel": _wheel_warm, "pulley": _pulley_warm}[name]
         v, w = fn(d, jstate[name], v, w)
     return v, w
 
@@ -683,7 +1419,10 @@ def warm_start_joints(jdata, jstate, v, w):
 def solve_joint_velocity(jdata, jstate, v, w, dt, max_colors=settings.MAX_COLORS):
     """One velocity iteration over all joints, color by color."""
     fns = {"revolute": _revolute_velocity, "distance": _distance_velocity,
-           "prismatic": _prismatic_velocity}
+           "prismatic": _prismatic_velocity, "mouse": _mouse_velocity,
+           "weld": _weld_velocity, "friction": _friction_velocity,
+           "rope": _rope_velocity, "motor": _motor_velocity,
+           "wheel": _wheel_velocity, "pulley": _pulley_velocity}
 
     def color_pass(ci, carry):
         jstate, v, w = carry
@@ -700,7 +1439,10 @@ def solve_joint_velocity(jdata, jstate, v, w, dt, max_colors=settings.MAX_COLORS
 def solve_joint_position(jdata, jstate, c, a, max_colors=settings.MAX_COLORS):
     """One NGS iteration over all joints. Returns (c, a, ok_body)."""
     fns = {"revolute": _revolute_position, "distance": _distance_position,
-           "prismatic": _prismatic_position}
+           "prismatic": _prismatic_position, "mouse": _mouse_position,
+           "weld": _weld_position, "friction": _friction_position,
+           "rope": _rope_position, "motor": _motor_position,
+           "wheel": _wheel_position, "pulley": _pulley_position}
     nb = c.shape[0]
     ok_body = jnp.ones(nb, bool)
 
@@ -737,4 +1479,32 @@ def store_joint_impulses(joints, jstate):
         out = dc.replace(out, prismatic=dc.replace(
             out.prismatic, impulse=s["impulse"],
             motor_impulse=s["motor_impulse"], limit_state=s["limit_state"]))
+    if "mouse" in jstate:
+        out = dc.replace(out, mouse=dc.replace(
+            out.mouse, impulse=jstate["mouse"]["impulse"]))
+    if "weld" in jstate:
+        out = dc.replace(out, weld=dc.replace(
+            out.weld, impulse=jstate["weld"]["impulse"]))
+    if "friction" in jstate:
+        s = jstate["friction"]
+        out = dc.replace(out, friction=dc.replace(
+            out.friction, linear_impulse=s["linear_impulse"],
+            angular_impulse=s["angular_impulse"]))
+    if "rope" in jstate:
+        out = dc.replace(out, rope=dc.replace(
+            out.rope, impulse=jstate["rope"]["impulse"]))
+    if "motor" in jstate:
+        s = jstate["motor"]
+        out = dc.replace(out, motor=dc.replace(
+            out.motor, linear_impulse=s["linear_impulse"],
+            angular_impulse=s["angular_impulse"]))
+    if "wheel" in jstate:
+        s = jstate["wheel"]
+        out = dc.replace(out, wheel=dc.replace(
+            out.wheel, impulse=s["impulse"],
+            spring_impulse=s["spring_impulse"],
+            motor_impulse=s["motor_impulse"]))
+    if "pulley" in jstate:
+        out = dc.replace(out, pulley=dc.replace(
+            out.pulley, impulse=jstate["pulley"]["impulse"]))
     return out

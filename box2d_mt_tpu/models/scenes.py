@@ -120,3 +120,86 @@ def tumbler(n_boxes=200):
                            position=(rng.uniform(-5, 5), 10.0 + rng.uniform(-5, 5)))
         wb.create_fixture(b, box(0.125, 0.125), density=1.0)
     return wb.freeze()
+
+
+def weld_pendulum(soft=False):
+    """Golden scene: two boxes welded, swinging on a revolute (golden2.cpp)."""
+    wb = WorldBuilder(gravity=(0.0, -10.0))
+    ground = wb.create_body()
+    b1 = wb.create_body(body_type=settings.DYNAMIC_BODY, position=(2.0, 8.0))
+    wb.create_fixture(b1, shapes.Polygon.box(0.5, 0.5), density=5.0)
+    b2 = wb.create_body(body_type=settings.DYNAMIC_BODY, position=(3.0, 8.0))
+    wb.create_fixture(b2, shapes.Polygon.box(0.5, 0.5), density=5.0)
+    wb.create_revolute_joint(ground, b1, (2.0, 9.0))
+    if soft:
+        wb.create_weld_joint(b1, b2, (2.5, 8.0), frequency=4.0,
+                             damping_ratio=0.5)
+    else:
+        wb.create_weld_joint(b1, b2, (2.5, 8.0))
+    return wb.freeze()
+
+
+def friction_top_down():
+    """Golden scene: sliding box damped by a friction joint (golden2.cpp)."""
+    wb = WorldBuilder(gravity=(0.0, 0.0))
+    ground = wb.create_body()
+    b = wb.create_body(body_type=settings.DYNAMIC_BODY, position=(2.0, 8.0),
+                       linear_velocity=(8.0, 3.0), angular_velocity=5.0)
+    wb.create_fixture(b, shapes.Polygon.box(0.5, 0.5), density=5.0)
+    wb.create_friction_joint(ground, b, (0.0, 0.0), max_force=10.0,
+                             max_torque=10.0)
+    # reference def uses local anchors (0,0) on both bodies
+    wb._joints["friction"][-1]["local_anchor_a"] = (0.0, 0.0)
+    wb._joints["friction"][-1]["local_anchor_b"] = (0.0, 0.0)
+    return wb.freeze()
+
+
+def rope_swing():
+    """Golden scene: box dropping to a 5m rope limit (golden2.cpp)."""
+    wb = WorldBuilder(gravity=(0.0, -10.0))
+    ground = wb.create_body()
+    b = wb.create_body(body_type=settings.DYNAMIC_BODY, position=(2.0, 8.0))
+    wb.create_fixture(b, shapes.Polygon.box(0.5, 0.5), density=5.0)
+    wb.create_rope_joint(ground, b, (0.0, 10.0), (0.0, 0.0), 5.0)
+    return wb.freeze()
+
+
+def motor_drive():
+    """Golden scene: motor joint pulling a kicked box back (golden2.cpp)."""
+    wb = WorldBuilder(gravity=(0.0, -10.0))
+    ground = wb.create_body()
+    b = wb.create_body(body_type=settings.DYNAMIC_BODY, position=(2.0, 8.0),
+                       linear_velocity=(5.0, 0.0))
+    wb.create_fixture(b, shapes.Polygon.box(0.5, 0.5), density=5.0)
+    wb.create_motor_joint(ground, b, max_force=1000.0, max_torque=1000.0)
+    return wb.freeze()
+
+
+def wheel_car():
+    """Golden scene: motorized wheel + chassis on ground (golden3.cpp,
+    Testbed Car.h analog)."""
+    wb = WorldBuilder(gravity=(0.0, -10.0))
+    ground = wb.create_body()
+    wb.create_fixture(ground, shapes.Edge((-40.0, 0.0), (40.0, 0.0)))
+    wheel = wb.create_body(body_type=settings.DYNAMIC_BODY, position=(0.0, 1.0))
+    wb.create_fixture(wheel, shapes.Circle(0.4), density=1.0, friction=0.9)
+    chassis = wb.create_body(body_type=settings.DYNAMIC_BODY, position=(0.0, 2.0))
+    wb.create_fixture(chassis, shapes.Polygon.box(1.0, 0.25), density=1.0)
+    wb.create_wheel_joint(chassis, wheel, (0.0, 1.0), (0.0, 1.0),
+                          enable_motor=True, motor_speed=-10.0,
+                          max_motor_torque=20.0, frequency=4.0,
+                          damping_ratio=0.7)
+    return wb.freeze()
+
+
+def pulley_pair():
+    """Golden scene: 1.5-ratio pulley between two boxes (golden3.cpp)."""
+    wb = WorldBuilder(gravity=(0.0, -10.0))
+    ground = wb.create_body()
+    a = wb.create_body(body_type=settings.DYNAMIC_BODY, position=(-2.0, 5.0))
+    wb.create_fixture(a, shapes.Polygon.box(0.5, 0.5), density=5.0)
+    b = wb.create_body(body_type=settings.DYNAMIC_BODY, position=(2.0, 5.0))
+    wb.create_fixture(b, shapes.Polygon.box(0.5, 1.0), density=5.0)
+    wb.create_pulley_joint(a, b, (-2.0, 10.0), (2.0, 10.0),
+                           (-2.0, 5.5), (2.0, 6.0), 1.5)
+    return wb.freeze()

@@ -831,6 +831,95 @@ class WorldBuilder:
             upper_translation=upper_translation, enable_motor=enable_motor,
             motor_speed=motor_speed, max_motor_force=max_motor_force)
 
+    def create_weld_joint(self, body_a, body_b, anchor, *,
+                          collide_connected=False, frequency=0.0,
+                          damping_ratio=0.0, reference_angle=None):
+        la = self._to_local(body_a, anchor)
+        lb = self._to_local(body_b, anchor)
+        if reference_angle is None:
+            reference_angle = self._bodies[body_b].angle - self._bodies[body_a].angle
+        return self._add_joint(
+            "weld", body_a=body_a, body_b=body_b, local_anchor_a=la,
+            local_anchor_b=lb, reference_angle=reference_angle,
+            frequency=frequency, damping_ratio=damping_ratio,
+            collide_connected=collide_connected)
+
+    def create_friction_joint(self, body_a, body_b, anchor, *,
+                              collide_connected=False, max_force=0.0,
+                              max_torque=0.0):
+        la = self._to_local(body_a, anchor)
+        lb = self._to_local(body_b, anchor)
+        return self._add_joint(
+            "friction", body_a=body_a, body_b=body_b, local_anchor_a=la,
+            local_anchor_b=lb, max_force=max_force, max_torque=max_torque,
+            collide_connected=collide_connected)
+
+    def create_rope_joint(self, body_a, body_b, local_anchor_a,
+                          local_anchor_b, max_length, *,
+                          collide_connected=False):
+        return self._add_joint(
+            "rope", body_a=body_a, body_b=body_b,
+            local_anchor_a=tuple(local_anchor_a),
+            local_anchor_b=tuple(local_anchor_b), max_length=max_length,
+            collide_connected=collide_connected)
+
+    def create_motor_joint(self, body_a, body_b, *, collide_connected=False,
+                           max_force=1.0, max_torque=1.0,
+                           correction_factor=0.3, linear_offset=None,
+                           angular_offset=None):
+        """b2MotorJointDef::Initialize defaults: current relative transform."""
+        if linear_offset is None:
+            bb_ = self._bodies[body_b]
+            linear_offset = self._to_local(body_a, bb_.position)
+        if angular_offset is None:
+            angular_offset = (self._bodies[body_b].angle
+                              - self._bodies[body_a].angle)
+        return self._add_joint(
+            "motor", body_a=body_a, body_b=body_b,
+            linear_offset=tuple(linear_offset), angular_offset=angular_offset,
+            max_force=max_force, max_torque=max_torque,
+            correction_factor=correction_factor,
+            collide_connected=collide_connected)
+
+    def create_mouse_joint(self, body_b, target, *, max_force=0.0,
+                           frequency=5.0, damping_ratio=0.7):
+        """b2MouseJoint: soft drag of body_b toward a world target."""
+        lb = self._to_local(body_b, target)
+        return self._add_joint(
+            "mouse", body_a=body_b, body_b=body_b, target=tuple(target),
+            local_anchor_b=lb, max_force=max_force, frequency=frequency,
+            damping_ratio=damping_ratio, collide_connected=True)
+
+    def create_wheel_joint(self, body_a, body_b, anchor, axis, *,
+                           collide_connected=False, enable_motor=False,
+                           motor_speed=0.0, max_motor_torque=0.0,
+                           frequency=2.0, damping_ratio=0.7):
+        la = self._to_local(body_a, anchor)
+        lb = self._to_local(body_b, anchor)
+        ax = self._to_local_vector(body_a, axis)
+        return self._add_joint(
+            "wheel", body_a=body_a, body_b=body_b, local_anchor_a=la,
+            local_anchor_b=lb, local_axis_a=ax, enable_motor=enable_motor,
+            motor_speed=motor_speed, max_motor_torque=max_motor_torque,
+            frequency=frequency, damping_ratio=damping_ratio,
+            collide_connected=collide_connected)
+
+    def create_pulley_joint(self, body_a, body_b, ground_anchor_a,
+                            ground_anchor_b, anchor_a, anchor_b, ratio=1.0, *,
+                            collide_connected=True):
+        la = self._to_local(body_a, anchor_a)
+        lb = self._to_local(body_b, anchor_b)
+        length_a = math.dist(anchor_a, ground_anchor_a)
+        length_b = math.dist(anchor_b, ground_anchor_b)
+        return self._add_joint(
+            "pulley", body_a=body_a, body_b=body_b,
+            ground_anchor_a=tuple(ground_anchor_a),
+            ground_anchor_b=tuple(ground_anchor_b),
+            local_anchor_a=la, local_anchor_b=lb,
+            length_a=length_a, length_b=length_b, ratio=ratio,
+            constant=length_a + ratio * length_b,
+            collide_connected=collide_connected)
+
     def _to_local(self, body: int, world_point):
         b = self._bodies[body]
         s, c = math.sin(b.angle), math.cos(b.angle)

@@ -121,3 +121,45 @@ def test_determinism_same_seed():
     assert np.array_equal(np.asarray(st1.bodies.c), np.asarray(st2.bodies.c))
     assert np.array_equal(np.asarray(st1.bodies.a), np.asarray(st2.bodies.a))
     assert np.array_equal(np.asarray(st1.bodies.awake), np.asarray(st2.bodies.awake))
+
+
+def test_weld_pendulum():
+    st = scenes.weld_pendulum()
+    errs, _ = _run_vs_golden(st, "weld_240.jsonl", 240, 8, 3, 3)
+    assert max(errs) < 2e-2
+
+
+def test_weld_soft_pendulum():
+    st = scenes.weld_pendulum(soft=True)
+    errs, _ = _run_vs_golden(st, "weldsoft_240.jsonl", 240, 8, 3, 3)
+    assert max(errs) < 2e-2
+
+
+def test_friction_joint():
+    st = scenes.friction_top_down()
+    errs, _ = _run_vs_golden(st, "friction_240.jsonl", 240, 8, 3, 2)
+    assert max(errs) < 5e-3
+
+
+def test_rope_joint():
+    st = scenes.rope_swing()
+    errs, _ = _run_vs_golden(st, "rope_240.jsonl", 240, 8, 3, 2)
+    assert max(errs) < 2e-2
+
+
+def test_motor_joint():
+    st = scenes.motor_drive()
+    errs, _ = _run_vs_golden(st, "motor_240.jsonl", 240, 8, 3, 2)
+    assert max(errs) < 5e-3
+
+
+def test_wheel_joint():
+    st = scenes.wheel_car()
+    errs, _ = _run_vs_golden(st, "wheel_240.jsonl", 240, 8, 3, 3)
+    assert max(errs) < 5e-2   # driven wheel on ground: contact+joint coupling
+
+
+def test_pulley_joint():
+    st = scenes.pulley_pair()
+    errs, _ = _run_vs_golden(st, "pulley_240.jsonl", 240, 8, 3, 3)
+    assert max(errs) < 1e-2
