@@ -204,7 +204,16 @@ def gjk_distance(verts_a, count_a, radius_a, pa, qa,
         s = jax.tree.map(lambda a, b: jnp.where(done, a, b), s, s2)
         return s, jnp.where(done, done, done2)
 
-    simplex, _ = jax.lax.fori_loop(0, 20, guarded, (simplex, jnp.bool_(False)))
+    def gjk_cond(carry):
+        k, (_, done) = carry
+        return (k < 20) & ~done
+
+    def gjk_body(carry):
+        k, c = carry
+        return k + 1, guarded(k, c)
+
+    _, (simplex, _) = jax.lax.while_loop(
+        gjk_cond, gjk_body, (jnp.int32(0), (simplex, jnp.bool_(False))))
 
     valid = (jnp.arange(3) < simplex.count)[:, None]
     bw = jnp.where(valid, simplex.bary[:, None], 0.0)
@@ -336,7 +345,7 @@ def _sep_eval(fn: _SepFn, verts_a, verts_b, ia, ib, xfa, xfb):
 
 def time_of_impact(verts_a, count_a, radius_a, lc_a, c0_a, c_a, a0_a, a_a,
                    verts_b, count_b, radius_b, lc_b, c0_b, c_b, a0_b, a_b,
-                   t_max):
+                   t_max, active=True):
     """b2TimeOfImpact (conservative advancement, b2TimeOfImpact.cpp:256-497)
     for one pair with normalized sweeps starting at alpha0 = 0.
     Returns (state, t)."""
@@ -417,21 +426,47 @@ def time_of_impact(verts_a, count_a, radius_a, lc_a, c0_a, c_a, a0_a, a_a,
                 s2r = jnp.where(~rdone & ~upd_lo, sr, s2r)
                 return a1, a2, s1r, s2r, t_root, rdone
 
-            _, _, _, _, t_root, rdone = jax.lax.fori_loop(
-                0, 32, root, (t1, t2, s1, s2, t2, jnp.bool_(False)))
+            def root_cond(rcarry):
+                k, (_, _, _, _, _, rdone) = rcarry
+                return (k < 32) & ~rdone
+
+            def root_body(rcarry):
+                k, rc = rcarry
+                return k + 1, root(k, rc)
+
+            _, (_, _, _, _, t_root, rdone) = jax.lax.while_loop(
+                root_cond, root_body,
+                (jnp.int32(0), (t1, t2, s1, s2, t2, jnp.bool_(False))))
             t2 = jnp.where(pdone2, t2, t_root)
             return t1_next, t2, state, t_out, pdone2, odone | odone_new
 
-        t1n, _, state, t_out, _, done2 = jax.lax.fori_loop(
-            0, settings.MAX_POLYGON_VERTICES, push,
-            (t1, t_max, state, t_out, done, jnp.bool_(False)))
+        def push_cond(pcarry):
+            k, (_, _, _, _, pdone, _) = pcarry
+            return (k < settings.MAX_POLYGON_VERTICES) & ~pdone
+
+        def push_body(pcarry):
+            k, pc = pcarry
+            return k + 1, push(k, pc)
+
+        _, (t1n, _, state, t_out, _, done2) = jax.lax.while_loop(
+            push_cond, push_body,
+            (jnp.int32(0), (t1, t_max, state, t_out, done, jnp.bool_(False))))
         t1 = jnp.where(done, t1, t1n)
         done = done | done2
         return t1, state, t_out, done
 
-    t1, state, t_out, done = jax.lax.fori_loop(
-        0, 20, outer,
-        (zeros, jnp.int32(TOI_UNKNOWN), t_max, jnp.bool_(False)))
+    def outer_cond(carry):
+        k, (_, _, _, done) = carry
+        return (k < 20) & ~done
+
+    def outer_body(carry):
+        k, c = carry
+        return k + 1, outer(k, c)
+
+    done0 = ~jnp.asarray(active, bool)
+    _, (t1, state, t_out, done) = jax.lax.while_loop(
+        outer_cond, outer_body,
+        (jnp.int32(0), (zeros, jnp.int32(TOI_UNKNOWN), t_max, done0)))
     # root finder stuck -> failed at t1
     state = jnp.where(done, state, jnp.int32(TOI_FAILED))
     t_out = jnp.where(done, t_out, t1)

@@ -434,7 +434,7 @@ def _solve_toi(state: State, dt, velocity_iterations: int, toi_rounds: int):
             bodies.local_center[ba], c0a, c[ba], a0a, a[ba],
             fx.verts[ib], fx.nverts[ib], fx.radius[ib],
             bodies.local_center[bb], c0b, c[bb], a0b, a[bb],
-            jnp.ones(nc, jnp.float32))
+            jnp.ones(nc, jnp.float32), cand & ~blocked)
 
         alpha_c = jnp.where(tstate == dst.TOI_TOUCHING,
                             jnp.minimum(al0 + (1.0 - al0) * t, 1.0), 1.0)
@@ -624,8 +624,16 @@ def _solve_toi(state: State, dt, velocity_iterations: int, toi_rounds: int):
     carry = (bodies.c, bodies.a, bodies.c0, bodies.a0,
              jnp.zeros(nb, jnp.float32), bodies.v, bodies.w, bodies.awake,
              blocked0, jnp.bool_(False))
-    c, a, c0, a0, alpha0, v, w, awake, blocked, _ = jax.lax.fori_loop(
-        0, toi_rounds, round_body, carry)
+    def toi_cond(rc):
+        k, inner = rc
+        return (k < toi_rounds) & ~inner[-1]
+
+    def toi_body(rc):
+        k, inner = rc
+        return k + 1, round_body(k, inner)
+
+    _, (c, a, c0, a0, alpha0, v, w, awake, blocked, _) = jax.lax.while_loop(
+        toi_cond, toi_body, (jnp.int32(0), carry))
 
     bodies = dataclasses.replace(
         state.bodies, c=c, a=a, c0=c0, a0=a0,
