@@ -1366,7 +1366,7 @@ def init_joints(joints, bodies, awake, v, w, dt, dt_ratio, warm_starting,
         colors[name] = col[off:off + n]
         off += n
 
-    data = {"_names": tuple(n for n, _ in blocks)}
+    data = {}
     state = {}
     for name, blk in blocks:
         if name == "revolute":
@@ -1404,8 +1404,18 @@ def init_joints(joints, bodies, awake, v, w, dt, dt_ratio, warm_starting,
     return data, state
 
 
+_SOLVE_ORDER = ("revolute", "distance", "prismatic", "mouse", "weld",
+                "friction", "rope", "motor", "wheel", "pulley")
+
+
+def _block_names(jdata):
+    """Static block-name order recovered from the (pytree-safe) data dict —
+    dict keys are not traced, so this survives vmap boundaries."""
+    return tuple(n for n in _SOLVE_ORDER if n in jdata)
+
+
 def warm_start_joints(jdata, jstate, v, w):
-    for name in jdata["_names"]:
+    for name in _block_names(jdata):
         blk, d = jdata[name]
         fn = {"revolute": _revolute_warm, "distance": _distance_warm,
               "prismatic": _prismatic_warm, "mouse": _mouse_warm,
@@ -1426,7 +1436,7 @@ def solve_joint_velocity(jdata, jstate, v, w, dt, max_colors=settings.MAX_COLORS
 
     def color_pass(ci, carry):
         jstate, v, w = carry
-        for name in jdata["_names"]:
+        for name in _block_names(jdata):
             blk, d = jdata[name]
             st, v, w = fns[name](blk, d, jstate[name], v, w, dt,
                                  d.com.color == ci)
@@ -1448,7 +1458,7 @@ def solve_joint_position(jdata, jstate, c, a, max_colors=settings.MAX_COLORS):
 
     def color_pass(ci, carry):
         c, a, ok_body = carry
-        for name in jdata["_names"]:
+        for name in _block_names(jdata):
             blk, d = jdata[name]
             c, a, ok = fns[name](blk, d, jstate[name], c, a, d.com.color == ci)
             okm = ok | (d.com.color != ci)

@@ -160,9 +160,14 @@ def find_pairs_allpairs(state: State, capacity: int):
     tb = jnp.where(swap, ti, tj)
     pair_ok &= contact_kind(ta, tb) != 5  # KIND_INVALID
 
+    # extract up to `capacity` set bits in row-major (= canonical key) order:
+    # top_k over negated flat indices — far cheaper than nonzero under vmap
     flat = pair_ok.ravel()
     n_found = jnp.sum(flat)
-    (pidx,) = jnp.nonzero(flat, size=capacity, fill_value=nf * nf)
+    flat_idx = jnp.arange(nf * nf, dtype=jnp.int32)
+    neg_key = jnp.where(flat, -flat_idx, jnp.iinfo(jnp.int32).min)
+    topv, _ = jax.lax.top_k(neg_key, capacity)
+    pidx = jnp.where(topv == jnp.iinfo(jnp.int32).min, nf * nf, -topv)
     i_sel = (pidx // nf).astype(jnp.int32)
     j_sel = (pidx % nf).astype(jnp.int32)
     valid = pidx < nf * nf
@@ -186,32 +191,46 @@ def carry_over_contacts(old, f_a, f_b, nf: int):
     """
     old_lo = jnp.minimum(old.f_a, old.f_b)
     old_hi = jnp.maximum(old.f_a, old.f_b)
-    old_key = jnp.where(old.f_a >= 0, old_lo * nf + old_hi, jnp.iinfo(jnp.int32).max)
+    old_key = old_lo * nf + old_hi
     new_lo = jnp.minimum(f_a, f_b)
     new_hi = jnp.maximum(f_a, f_b)
-    new_key = jnp.where(f_a >= 0, new_lo * nf + new_hi, jnp.iinfo(jnp.int32).max)
+    new_key = new_lo * nf + new_hi
 
-    pos = jnp.searchsorted(old_key, new_key)
-    pos = jnp.clip(pos, 0, old_key.shape[0] - 1)
-    hit = (old_key[pos] == new_key) & (f_a >= 0)
+    # key-match as a one-hot (C_new, C_old) compare + matmul — keys are
+    # unique among valid slots, so each row has at most one hit. This is
+    # the TPU-cheap form of the sorted merge (no searchsorted gathers).
+    m = ((new_key[:, None] == old_key[None, :])
+         & (old.f_a >= 0)[None, :] & (f_a >= 0)[:, None])
+    mf = m.astype(jnp.float32)
 
-    def take(x, fill=0.0):
-        gathered = x[pos]
-        shape_ones = (1,) * (x.ndim - 1)
-        return jnp.where(hit.reshape(hit.shape + shape_ones), gathered,
-                         jnp.full_like(gathered, fill))
+    # m_ids are 32-bit packed feature keys — split into two f32-exact
+    # 16-bit halves for the matmul transfer
+    ids_lo = (old.m_ids & 0xFFFF).astype(jnp.float32)
+    ids_hi = ((old.m_ids >> 16) & 0xFFFF).astype(jnp.float32)
+    blob = jnp.concatenate([
+        old.m_type.astype(jnp.float32)[:, None],
+        old.m_local_point, old.m_local_normal,
+        old.m_points.reshape(-1, 4),
+        old.m_count.astype(jnp.float32)[:, None],
+        old.normal_impulse, old.tangent_impulse,
+        old.touching.astype(jnp.float32)[:, None],
+        ids_lo, ids_hi,
+    ], axis=1)                                           # (C, 19)
+    g = jnp.matmul(mf, blob, precision=jax.lax.Precision.HIGHEST)
 
+    ids = (g[:, 15:17].astype(jnp.int32)
+           | (g[:, 17:19].astype(jnp.int32) << 16))
     return old.__class__(
         f_a=f_a.astype(jnp.int32),
         f_b=f_b.astype(jnp.int32),
-        m_type=take(old.m_type, 0).astype(jnp.int32),
-        m_local_point=take(old.m_local_point),
-        m_local_normal=take(old.m_local_normal),
-        m_points=take(old.m_points),
-        m_ids=take(old.m_ids, 0).astype(jnp.int32),
-        m_count=take(old.m_count, 0).astype(jnp.int32),
-        normal_impulse=take(old.normal_impulse),
-        tangent_impulse=take(old.tangent_impulse),
-        touching=take(old.touching, 0).astype(bool),
+        m_type=g[:, 0].astype(jnp.int32),
+        m_local_point=g[:, 1:3],
+        m_local_normal=g[:, 3:5],
+        m_points=g[:, 5:9].reshape(-1, 2, 2),
+        m_ids=ids,
+        m_count=g[:, 9].astype(jnp.int32),
+        normal_impulse=g[:, 10:12],
+        tangent_impulse=g[:, 12:14],
+        touching=g[:, 14] > 0.5,
         toi_count=jnp.zeros_like(f_a, jnp.int32),
     )

@@ -586,6 +586,27 @@ def needs_swap(type_i, type_j):
             | ((type_i == p) & (type_j == e)))
 
 
-def collide(kind, a: ShapeRows, pA, qA, b: ShapeRows, pB, qB) -> Manifold:
-    """Dispatch one pair to its collider (vmap-friendly lax.switch)."""
-    return jax.lax.switch(kind, _COLLIDERS, a, pA, qA, b, pB, qB)
+ALL_KINDS = (KIND_CIRCLES, KIND_POLYGON_CIRCLE, KIND_POLYGONS,
+             KIND_EDGE_CIRCLE, KIND_EDGE_POLYGON)
+
+
+def collide(kind, a: ShapeRows, pA, qA, b: ShapeRows, pB, qB,
+            kinds=ALL_KINDS) -> Manifold:
+    """Dispatch one pair to its collider (vmap-friendly lax.switch).
+
+    `kinds` is the *static* tuple of contact kinds that can occur — derived
+    from the scene's shape-type set (see world.possible_kinds). Under vmap a
+    switch evaluates every branch, so restricting to the kinds that exist
+    skips entire colliders (a scene of boxes never pays for the EPCollider).
+    """
+    kinds = tuple(k for k in kinds if k != KIND_INVALID)
+    if len(kinds) == 1:
+        man = _COLLIDERS[kinds[0]](a, pA, qA, b, pB, qB)
+        ok = kind == kinds[0]
+        return man._replace(count=jnp.where(ok, man.count, 0))
+    branches = [_COLLIDERS[k] for k in kinds]
+    branches.append(_COLLIDERS[KIND_INVALID])
+    idx = jnp.full_like(kind, len(kinds))
+    for bi, k in enumerate(kinds):
+        idx = jnp.where(kind == k, bi, idx)
+    return jax.lax.switch(idx, branches, a, pA, qA, b, pB, qB)

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..world import step
+from ..world import possible_kinds, step_batched
 
 
 def batch_states(states):
@@ -31,26 +31,34 @@ def replicate_state(state, n: int):
 
 
 def make_batched_step(**step_kwargs):
-    """vmap(step) over the leading world axis; jitted."""
+    """Batched step over the leading world axis; jitted. Derives the static
+    contact-kind set from the states on first call (host-side) so absent
+    colliders compile away."""
     def _step(states, dt):
-        return jax.vmap(lambda s: step(s, dt, **step_kwargs))(states)
-    return jax.jit(_step)
+        kw = dict(step_kwargs)
+        kw.setdefault("kinds", possible_kinds(states))
+        return step_batched(states, dt, **kw)
+    return _step
 
 
 def make_rollout(n_steps: int, **step_kwargs):
-    """jitted lax.scan rollout: n_steps of vmapped step in ONE program.
+    """jitted lax.scan rollout: n_steps of the batched step in ONE program.
     This is the production driving pattern — per-step Python dispatch
     (~3us per output buffer through the runtime) disappears entirely."""
-    from ..world import step as _step
+    fixed_kinds = step_kwargs.pop("kinds", None)
 
-    def rollout(states, dt):
+    @partial(jax.jit, static_argnames=("kinds",))
+    def _roll(states, dt, kinds):
         def body(ss, _):
-            new_ss, _ev = jax.vmap(lambda s: _step(s, dt, **step_kwargs))(ss)
+            new_ss, _ev = step_batched(ss, dt, kinds=kinds, **step_kwargs)
             return new_ss, None
         out, _ = jax.lax.scan(body, states, None, length=n_steps)
         return out
 
-    return jax.jit(rollout)
+    def rollout(states, dt):
+        return _roll(states, dt, fixed_kinds or possible_kinds(states))
+
+    return rollout
 
 
 def make_sharded_step(mesh: Mesh, axis: str = "worlds", **step_kwargs):
@@ -58,16 +66,18 @@ def make_sharded_step(mesh: Mesh, axis: str = "worlds", **step_kwargs):
     jitted step. Worlds are independent, so XLA partitions the whole
     program with no collectives."""
     sharding = NamedSharding(mesh, P(axis))
+    fixed_kinds = step_kwargs.pop("kinds", None)
 
     def shard_state(states):
         """Place a batched State with the world axis split over the mesh."""
         return jax.device_put(states, sharding)
 
-    batched = make_batched_step(**step_kwargs)
-
-    @jax.jit
-    def _step(states, dt):
+    @partial(jax.jit, static_argnames=("kinds",))
+    def _sharded(states, dt, kinds):
         states = jax.lax.with_sharding_constraint(states, sharding)
-        return batched(states, dt)
+        return step_batched(states, dt, kinds=kinds, **step_kwargs)
+
+    def _step(states, dt):
+        return _sharded(states, dt, fixed_kinds or possible_kinds(states))
 
     return _step, shard_state

@@ -186,6 +186,9 @@ class State:
     joints: "Joints"
     gravity: jax.Array        # (2,) f32
     inv_dt0: jax.Array        # () f32 previous step's 1/dt (dtRatio warm start)
+    pairs_dirty: jax.Array    # () bool — filter/fixture set changed since the
+    # last pair refresh (the e_newFixture flag analog, b2World.h:252); forces
+    # a broad-phase pair recompute even when no fat AABB moved.
 
 
 # --------------------------------------------------------------------------

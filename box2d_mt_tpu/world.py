@@ -52,6 +52,7 @@ class Events(NamedTuple):
     f_b: jax.Array
     pair_overflow: jax.Array  # () i32 — pairs dropped by capacity
     color_overflow: jax.Array  # () i32 — constraints past MAX_COLORS-1
+    toi_overflow: jax.Array   # () i32 — TOI candidates past toi_capacity
 
 
 # --------------------------------------------------------------------------
@@ -96,7 +97,8 @@ class _PreSolve(NamedTuple):
     end_touch: jax.Array
 
 
-def _pre_solve(state: State, dt, warm_starting: bool, max_colors: int) -> _PreSolve:
+def _pre_solve(state: State, dt, warm_starting: bool, max_colors: int,
+               kinds=nph.ALL_KINDS) -> _PreSolve:
     """Collide phase + island/coloring/constraint prep + contact warm start
     (b2World Collide + the head of Solve)."""
     bodies = state.bodies
@@ -143,7 +145,7 @@ def _pre_solve(state: State, dt, warm_starting: bool, max_colors: int) -> _PreSo
     pq = jnp.concatenate([p_all, q_all], axis=1)        # (N,4)
     pq_ab = gather_rows(pq, body_ab)                    # ONE gather (2C, 4)
     kind = nph.contact_kind(type_ab[:nc], type_ab[nc:])
-    manifold = jax.vmap(nph.collide)(
+    manifold = jax.vmap(lambda *a: nph.collide(*a, kinds=kinds))(
         kind, rows_a, pq_ab[:nc, 0:2], pq_ab[:nc, 2:4],
         rows_b, pq_ab[nc:, 0:2], pq_ab[nc:, 2:4])
 
@@ -234,92 +236,134 @@ def _pre_solve(state: State, dt, warm_starting: bool, max_colors: int) -> _PreSo
         begin_touch=begin_touch, end_touch=end_touch)
 
 
-def _solve_middle_xla(state: State, pre: _PreSolve, dt,
-                      velocity_iterations, position_iterations,
-                      warm_starting, max_colors):
-    """Velocity/position iteration loops in XLA (handles joints)."""
-    bodies = state.bodies
+def _solve_middle_b(states: State, pre: _PreSolve, dt,
+                    velocity_iterations, position_iterations,
+                    warm_starting, max_colors):
+    """Velocity/position iteration loops over batched worlds.
+
+    The iteration loops live ABOVE the world batch (not under vmap), so the
+    contact color loop can run a *dynamic* trip count — the global maximum
+    color actually used — instead of the static max_colors worst case. The
+    per-color kernels are vmapped; within a color all scatters are
+    conflict-free per world (coloring.py)."""
+    bodies = states.bodies
     nb = bodies.capacity
+    n_worlds = bodies.body_type.shape[0]
     cc, color = pre.cc, pre.color
     ni_it, ti_it, bs = pre.ni_it, pre.ti_it, pre.bs
-    v, w = bs[:, 0:2], bs[:, 2]
+    v, w = bs[..., 0:2], bs[..., 2]
 
-    have_joints = joints_present(state.joints)
+    # global dynamic color count (scalar): empty tail colors cost nothing
+    n_col = 1 + jnp.max(jnp.where(cc.active & (color >= 0), color, -1))
+
+    def pack(v, w):
+        return jnp.concatenate(
+            [v, w[..., None], jnp.zeros(w.shape + (1,), v.dtype)], axis=-1)
+
+    have_joints = joints_present(states.joints)
     if have_joints:
         from .joints import (init_joints, warm_start_joints,
                              solve_joint_velocity, solve_joint_position,
                              store_joint_impulses)
-        jdata, jstate = init_joints(state.joints, bodies, pre.awake, v, w, dt,
-                                    pre.dt_ratio, warm_starting, nb, max_colors)
-        v, w = warm_start_joints(jdata, jstate, v, w)
-        bs = jnp.concatenate([v, w[:, None], jnp.zeros((nb, 1), v.dtype)], axis=1)
+        jdata, jstate = jax.vmap(
+            lambda j, b, aw, vv, ww, dtr: init_joints(
+                j, b, aw, vv, ww, dt, dtr, warm_starting, nb, max_colors)
+        )(states.joints, bodies, pre.awake, v, w, pre.dt_ratio)
+        v, w = jax.vmap(warm_start_joints)(jdata, jstate, v, w)
+        bs = pack(v, w)
     else:
         jdata = jstate = None
+
+    def contact_vel_colors(ni_it, ti_it, bs):
+        def cond(carry):
+            ci = carry[0]
+            return ci < n_col
+
+        def body(carry):
+            ci, (ni, ti, b_) = carry
+            ni, ti, b_ = jax.vmap(
+                lambda cc_, n_, t_, bb_, col_: csolver.solve_velocity_color(
+                    cc_, n_, t_, bb_, col_ == ci)
+            )(cc, ni, ti, b_, color)
+            return ci + 1, (ni, ti, b_)
+
+        _, out = jax.lax.while_loop(cond, body,
+                                    (jnp.int32(0), (ni_it, ti_it, bs)))
+        return out
 
     def vel_iter(_, carry):
         ni_it, ti_it, bs, jstate = carry
         if have_joints:
-            v, w = bs[:, 0:2], bs[:, 2]
-            jstate, v, w = solve_joint_velocity(jdata, jstate, v, w, dt, max_colors)
-            bs = jnp.concatenate([v, w[:, None], jnp.zeros((nb, 1), v.dtype)], axis=1)
-
-        def color_pass(ci, inner):
-            ni_it, ti_it, bs = inner
-            return csolver.solve_velocity_color(cc, ni_it, ti_it, bs,
-                                                color == ci)
-
-        ni_it, ti_it, bs = jax.lax.fori_loop(
-            0, max_colors, color_pass, (ni_it, ti_it, bs))
+            v, w = bs[..., 0:2], bs[..., 2]
+            jstate, v, w = jax.vmap(
+                lambda jd, js, vv, ww: solve_joint_velocity(
+                    jd, js, vv, ww, dt, max_colors))(jdata, jstate, v, w)
+            bs = pack(v, w)
+        ni_it, ti_it, bs = contact_vel_colors(ni_it, ti_it, bs)
         return ni_it, ti_it, bs, jstate
 
     ni_it, ti_it, bs, jstate = jax.lax.fori_loop(
         0, velocity_iterations, vel_iter, (ni_it, ti_it, bs, jstate))
-    v, w = bs[:, 0:2], bs[:, 2]
+    v, w = bs[..., 0:2], bs[..., 2]
 
-    c, a, v, w = integrate.integrate_positions(
-        bodies.c, bodies.a, v, w, dt, pre.solve_mask)
+    c, a, v, w = jax.vmap(
+        lambda c_, a_, vv, ww, m_: integrate.integrate_positions(
+            c_, a_, vv, ww, dt, m_))(bodies.c, bodies.a, v, w, pre.solve_mask)
 
-    ps = jnp.concatenate([c, a[:, None], jnp.zeros((nb, 1), c.dtype)], axis=1)
+    ps = jnp.concatenate(
+        [c, a[..., None], jnp.zeros(a.shape + (1,), c.dtype)], axis=-1)
+
+    def contact_pos_colors(ps, min_sep):
+        def cond(carry):
+            ci = carry[0]
+            return ci < n_col
+
+        def body(carry):
+            ci, (p_, ms_) = carry
+            p_, ms = jax.vmap(
+                lambda cc_, pp_, col_: csolver.solve_position_color(
+                    cc_, pp_, col_ == ci, settings.BAUMGARTE,
+                    settings.MAX_LINEAR_CORRECTION)
+            )(cc, p_, color)
+            return ci + 1, (p_, jnp.minimum(ms_, ms))
+
+        _, out = jax.lax.while_loop(cond, body, (jnp.int32(0), (ps, min_sep)))
+        return out
 
     def pos_iter(_, carry):
         ps, min_sep, jok = carry
-
-        def color_pass(ci, inner):
-            ps, min_sep = inner
-            ps, ms = csolver.solve_position_color(
-                cc, ps, color == ci, settings.BAUMGARTE,
-                settings.MAX_LINEAR_CORRECTION)
-            return ps, jnp.minimum(min_sep, ms)
-
-        ps, min_sep = jax.lax.fori_loop(
-            0, max_colors, color_pass, (ps, jnp.zeros_like(min_sep)))
+        ps, min_sep = contact_pos_colors(ps, jnp.zeros_like(min_sep))
         if have_joints:
-            c_, a_ = ps[:, 0:2], ps[:, 2]
-            c_, a_, jok = solve_joint_position(jdata, jstate, c_, a_, max_colors)
-            ps = jnp.concatenate([c_, a_[:, None], jnp.zeros((nb, 1), c_.dtype)], axis=1)
+            c_, a_ = ps[..., 0:2], ps[..., 2]
+            c_, a_, jok = jax.vmap(
+                lambda jd, js, cx, ax: solve_joint_position(
+                    jd, js, cx, ax, max_colors))(jdata, jstate, c_, a_)
+            ps = jnp.concatenate(
+                [c_, a_[..., None], jnp.zeros(a_.shape + (1,), c_.dtype)],
+                axis=-1)
         return ps, min_sep, jok
 
-    min_sep0 = jnp.zeros(pre.contacts.capacity, jnp.float32)
-    jok0 = jnp.ones(nb, bool)
+    min_sep0 = jnp.zeros((n_worlds, pre.contacts.capacity), jnp.float32)
+    jok0 = jnp.ones((n_worlds, nb), bool)
     ps, min_sep, jok = jax.lax.fori_loop(
         0, position_iterations, pos_iter, (ps, min_sep0, jok0))
-    c, a = ps[:, 0:2], ps[:, 2]
+    c, a = ps[..., 0:2], ps[..., 2]
 
     if have_joints:
-        joints_new = store_joint_impulses(state.joints, jstate)
+        joints_new = jax.vmap(store_joint_impulses)(states.joints, jstate)
     else:
-        joints_new = state.joints
+        joints_new = states.joints
 
     return ni_it, ti_it, c, a, v, w, min_sep, jok, joints_new
 
 
-def _post_solve(state: State, pre: _PreSolve, dt, allow_sleep,
-                ni_it, ti_it, c, a, v, w, min_sep, jok, joints_new
-                ) -> Tuple[State, Events]:
-    """Impulse store, sleep, fixture synchronize, pair-table refresh."""
+def _post_sleep_sync(state: State, pre: _PreSolve, dt, allow_sleep,
+                     ni_it, ti_it, c, a, v, w, min_sep, jok, joints_new):
+    """Per-world: impulse store, sleep, fixture synchronize. Returns the
+    intermediate state (without pair refresh) plus the per-fixture `moved`
+    mask (the move-buffer analog)."""
     bodies = state.bodies
     nb = bodies.capacity
-    nf = state.fixtures.capacity
     contacts = dataclasses.replace(
         pre.contacts, normal_impulse=ni_it, tangent_impulse=ti_it)
     labels, non_static = pre.labels, pre.non_static
@@ -346,367 +390,579 @@ def _post_solve(state: State, pre: _PreSolve, dt, allow_sleep,
         v=jnp.where(fell_asleep[:, None], 0.0, bodies.v),
         w=jnp.where(fell_asleep, 0.0, bodies.w))
 
-    # --------------------------------------- 3. Synchronize + pair update
+    # --------------------------------------- 3. Synchronize (swept fat AABBs)
     p0, q0 = _body_xf(dataclasses.replace(bodies, c=c0, a=a0))
     p1, q1 = _body_xf(bodies)
     fx = state.fixtures
     fb = jnp.clip(fx.body, 0)
-    aabb_lo, aabb_hi, _ = broadphase.synchronize(
+    aabb_lo, aabb_hi, moved = broadphase.synchronize(
         fx, p0[fb], q0[fb], p1[fb], q1[fb])
     fx = dataclasses.replace(fx, aabb_lo=aabb_lo, aabb_hi=aabb_hi)
 
-    state_mid = dataclasses.replace(state, bodies=bodies, fixtures=fx,
-                                    contacts=contacts, joints=joints_new)
-    f_a, f_b, pair_overflow = broadphase.find_pairs_allpairs(
-        state_mid, contacts.capacity)
-    contacts = broadphase.carry_over_contacts(contacts, f_a, f_b, nf)
-
     inv_dt0 = jnp.where(dt > 0, 1.0 / jnp.where(dt > 0, dt, 1.0), state.inv_dt0)
+    state_mid = dataclasses.replace(state, bodies=bodies, fixtures=fx,
+                                    contacts=contacts, joints=joints_new,
+                                    inv_dt0=inv_dt0)
+    return state_mid, moved
+
+
+def _post_solve_b(states: State, pre: _PreSolve, dt, allow_sleep, mids
+                  ) -> Tuple[State, Events]:
+    """Batched post phase: sleep/sync per world, then a *globally gated*
+    pair-table refresh. Fat AABBs only change when a fixture's swept tight
+    AABB escapes them (b2DynamicTree::MoveProxy hysteresis), so when no
+    fixture in any world moved — and nothing set pairs_dirty — the overlap
+    set is provably unchanged and the whole broad-phase recompute is skipped
+    (the reference's move-buffer incrementality, b2BroadPhase.h:211-267)."""
+    nf = states.fixtures.capacity
+    nc = states.contacts.capacity
+    n_worlds = states.bodies.body_type.shape[0]
+
+    state_mid, moved = jax.vmap(
+        lambda s, p, *m: _post_sleep_sync(s, p, dt, allow_sleep, *m)
+    )(states, pre, *mids)
+
+    refresh_needed = jnp.any(moved) | jnp.any(states.pairs_dirty)
+
+    def do_refresh(sm):
+        f_a, f_b, overflow = jax.vmap(
+            lambda s: broadphase.find_pairs_allpairs(s, nc))(sm)
+        contacts = jax.vmap(
+            lambda c_, fa, fb: broadphase.carry_over_contacts(c_, fa, fb, nf)
+        )(sm.contacts, f_a, f_b)
+        return contacts, overflow.astype(jnp.int32)
+
+    def keep(sm):
+        contacts = dataclasses.replace(
+            sm.contacts, toi_count=jnp.zeros_like(sm.contacts.toi_count))
+        return contacts, jnp.zeros((n_worlds,), jnp.int32)
+
+    contacts, pair_overflow = jax.lax.cond(
+        refresh_needed, do_refresh, keep, state_mid)
+
     new_state = dataclasses.replace(
-        state_mid, contacts=contacts, inv_dt0=inv_dt0)
+        state_mid, contacts=contacts,
+        pairs_dirty=jnp.zeros((n_worlds,), bool))
     events = Events(
         begin_touch=pre.begin_touch, end_touch=pre.end_touch,
-        f_a=state.contacts.f_a, f_b=state.contacts.f_b,
-        pair_overflow=pair_overflow.astype(jnp.int32),
-        color_overflow=pre.color_overflow.astype(jnp.int32))
+        f_a=states.contacts.f_a, f_b=states.contacts.f_b,
+        pair_overflow=pair_overflow,
+        color_overflow=pre.color_overflow.astype(jnp.int32),
+        toi_overflow=jnp.zeros((n_worlds,), jnp.int32))
     return new_state, events
 
 
 
 
-def _solve_toi(state: State, dt, velocity_iterations: int, toi_rounds: int):
-    """Continuous physics (b2World::SolveTOI, b2World.cpp:1026-1093).
+def _solve_toi_b(states: State, dt, velocity_iterations: int,
+                 toi_rounds: int, kinds, toi_capacity: int):
+    """Continuous physics over batched worlds
+    (b2World::SolveTOI, b2World.cpp:1026-1093).
 
-    Bounded sub-step loop: each round computes every TOI candidate's impact
-    time (conservative advancement over the remaining sweep window), picks
-    the earliest (slot order = canonical key order, replicating ToiLessThan
-    tie-breaking), advances that pair to the impact time, resolves the pair
-    with a no-warm-start position+velocity sub-solve
-    (b2Island::SolveTOI, b2Island.cpp:398-530), and completes the remainder
-    of the step for the two bodies.
+    TPU-native restructuring of the reference's strictly sequential
+    min-TOI event loop:
 
-    Deviations from the reference (round-1): the sub-solve covers only the
-    impact pair, not the pair's neighbor contacts; neighbor bodies are not
-    tentatively advanced. The pair table is NOT refreshed after TOI moves —
-    safe because TOI points lie on the sweep path, so the pre-TOI swept fat
-    AABBs are a superset.
+      * **Candidate compaction**: TOI candidates (b2Contact::IsToiCandidate,
+        b2Contact.cpp:300-324) are sorted to the front of the contact table
+        and only the first `toi_capacity` lanes per world enter the solve —
+        the analog of b2_maxTOIContacts (b2Settings.h:95). Overflow is
+        counted in Events.toi_overflow.
+      * **Parallel disjoint resolution**: each round computes every active
+        lane's impact time (conservative advancement over the remaining
+        sweep window), then resolves ALL events whose body pairs are
+        disjoint in one pass. Per non-static body, the earliest-alpha event
+        wins, ties broken by canonical contact slot (ToiLessThan,
+        b2Contact.cpp:326-334). Events sharing a body with an earlier event
+        wait for the next round. Because resolving a pair moves only its own
+        (non-static) bodies, other pairs' impact times are unaffected — the
+        round-parallel schedule computes the same resolution sequence the
+        reference's one-at-a-time loop would.
+      * **Motion gating**: lanes whose relative sweep motion bound is below
+        half a linear slop cannot produce a tunneling event and are skipped;
+        when nothing anywhere is moving fast the whole phase costs one
+        (empty) round.
+      * Each resolved pair gets the reference sub-step: advance both bodies
+        to alpha, re-evaluate the manifold (restore-and-skip when it comes
+        up empty, b2World.cpp:928-940), 20-iteration TOI position solve at
+        beta=0.75, velocity solve with no warm start (b2Island::SolveTOI,
+        b2Island.cpp:398-530), "leap of faith" sweep reset, then complete
+        the remainder of the step. `toi_count` counts real sub-steps against
+        MAX_SUB_STEPS (b2_maxSubSteps).
+
+    Known deviations (tracked in PARITY.md): the sub-solve covers only the
+    impact pair, not the pair's neighbor contacts; the pair table is not
+    refreshed after TOI moves (safe: TOI points lie on the sweep path, so
+    pre-TOI swept fat AABBs are a superset).
     """
     from .ops.solver import (position_contact_math_s, velocity_contact_math_s)
     dst = distance
 
-    bodies = state.bodies
-    fx = state.fixtures
-    contacts = state.contacts
+    bodies = states.bodies
+    fx = states.fixtures
+    contacts = states.contacts
+    n_worlds = bodies.body_type.shape[0]
     nb = bodies.capacity
     nc = contacts.capacity
+    kcap = min(toi_capacity, nc)
 
-    ia = jnp.clip(contacts.f_a, 0)
-    ib = jnp.clip(contacts.f_b, 0)
-    ba = jnp.clip(fx.body[ia], 0)
-    bb = jnp.clip(fx.body[ib], 0)
-    pair_exists = contacts.f_a >= 0
+    vgather = jax.vmap(gather_rows)
+    vscatter = jax.vmap(scatter_add)
+    vgs = jax.vmap(gather_scalar)
+    vmin = jax.vmap(scatter_min_scalar, in_axes=(None, 0, 0, None))
+    take = jax.vmap(lambda t, i: jnp.take(t, i, axis=0))
 
-    sensor = fx.is_sensor[ia] | fx.is_sensor[ib]
-    bullet = bodies.bullet[ba] | bodies.bullet[bb]
-    both_dyn = bodies.is_dynamic[ba] & bodies.is_dynamic[bb]
-    thick = fx.thick_shape[ia] | fx.thick_shape[ib]
-    # b2Contact::IsToiCandidate (b2Contact.cpp:300-324)
+    f_a, f_b = contacts.f_a, contacts.f_b          # (W,C)
+    ia = jnp.clip(f_a, 0)
+    ib = jnp.clip(f_b, 0)
+    pair_exists = f_a >= 0
+
+    # ---- candidacy (one fixture-scalar gather + one body-scalar gather)
+    fsb = jnp.stack([
+        jnp.clip(fx.body, 0).astype(jnp.float32),
+        fx.is_sensor.astype(jnp.float32),
+        fx.thick_shape.astype(jnp.float32)], axis=-1)   # (W,F,3)
+    g = vgather(fsb, jnp.concatenate([ia, ib], axis=1))  # (W,2C,3)
+    ba = g[:, :nc, 0].astype(jnp.int32)
+    bb = g[:, nc:, 0].astype(jnp.int32)
+    sensor = (g[:, :nc, 1] > 0.5) | (g[:, nc:, 1] > 0.5)
+    thick = (g[:, :nc, 2] > 0.5) | (g[:, nc:, 2] > 0.5)
+
+    bsb = jnp.stack([bodies.body_type.astype(jnp.float32),
+                     bodies.bullet.astype(jnp.float32),
+                     bodies.awake.astype(jnp.float32)], axis=-1)  # (W,N,3)
+    bg = vgather(bsb, jnp.concatenate([ba, bb], axis=1))  # (W,2C,3)
+    type_a = bg[:, :nc, 0].astype(jnp.int32)
+    type_b = bg[:, nc:, 0].astype(jnp.int32)
+    bullet = (bg[:, :nc, 1] > 0.5) | (bg[:, nc:, 1] > 0.5)
+    ns_a_full = type_a != settings.STATIC_BODY
+    ns_b_full = type_b != settings.STATIC_BODY
+    awake_pair = ((bg[:, :nc, 2] > 0.5) & ns_a_full) | \
+                 ((bg[:, nc:, 2] > 0.5) & ns_b_full)
+    both_dyn = (type_a == settings.DYNAMIC_BODY) & \
+               (type_b == settings.DYNAMIC_BODY)
+
+    # b2Contact::IsToiCandidate + awake gate (b2World.cpp:1534-1541)
     cand = pair_exists & ~sensor & (bullet | (~both_dyn & ~thick))
-    # active: at least one awake non-static body (b2World.cpp:1534-1541)
-    ns = ~bodies.is_static
-    cand &= (bodies.awake[ba] & ns[ba]) | (bodies.awake[bb] & ns[bb])
+    active0 = cand & awake_pair                     # (W,C)
 
-    def round_body(_, carry):
-        c, a, c0, a0, alpha0, v, w, awake, blocked, done = carry
+    # ---- compaction: actives first, canonical slot order within each group
+    order = jnp.argsort(jnp.where(active0, 0, 1).astype(jnp.int32),
+                        axis=1, stable=True)
+    sel = order[:, :kcap]                           # (W,K) contact slots
+    lane_on = take(active0, sel)
+    toi_overflow = (jnp.sum(active0, axis=1)
+                    - jnp.sum(lane_on, axis=1)).astype(jnp.int32)
 
-        # --- per-candidate alpha (sync sweeps to common alpha0, run TOI)
-        al0 = jnp.maximum(alpha0[ba], alpha0[bb])
+    kia = take(ia, sel)
+    kib = take(ib, sel)
+    kba = take(ba, sel)
+    kbb = take(bb, sel)
+    ktype_a = take(type_a, sel)
+    ktype_b = take(type_b, sel)
+    ns_a = ktype_a != settings.STATIC_BODY          # endpoints moved by resolve
+    ns_b = ktype_b != settings.STATIC_BODY
+    dyn_a = ktype_a == settings.DYNAMIC_BODY
+    dyn_b = ktype_b == settings.DYNAMIC_BODY
+    kiab = jnp.concatenate([kia, kib], axis=1)      # (W,2K)
+    kbab = jnp.concatenate([kba, kbb], axis=1)
 
-        def adv(c0x, cx, a0x, ax, al0x, tgt):
-            beta = (tgt - al0x) / jnp.where(al0x < 1.0, 1.0 - al0x, 1.0)
-            return (c0x + beta[:, None] * (cx - c0x), a0x + beta * (ax - a0x))
+    # ---- per-lane fixture shape data (gathered once per step)
+    nf = fx.capacity
+    valid8 = jnp.arange(8)[None, None, :] < fx.nverts[..., None]
+    vlen = jnp.sqrt(jnp.sum(fx.verts ** 2, axis=-1))
+    rmax = jnp.max(jnp.where(valid8, vlen, 0.0), axis=-1) + fx.radius  # (W,F)
+    fblob = jnp.concatenate([
+        fx.verts.reshape(n_worlds, nf, 16),
+        fx.normals.reshape(n_worlds, nf, 16),
+        fx.nverts.astype(jnp.float32)[..., None],
+        fx.radius[..., None],
+        fx.friction[..., None],
+        fx.restitution[..., None],
+        fx.shape_type.astype(jnp.float32)[..., None],
+        rmax[..., None],
+        fx.ghosts.astype(jnp.float32)], axis=-1)    # (W,F,40)
+    fg = vgather(fblob, kiab)                       # (W,2K,40)
 
-        c0a, a0a = adv(c0[ba], c[ba], a0[ba], a[ba], alpha0[ba], al0)
-        c0b, a0b = adv(c0[bb], c[bb], a0[bb], a[bb], alpha0[bb], al0)
+    def unpack_shape(h):
+        return dict(
+            verts=h[..., 0:16].reshape(n_worlds, kcap, 8, 2),
+            normals=h[..., 16:32].reshape(n_worlds, kcap, 8, 2),
+            nverts=h[..., 32].astype(jnp.int32),
+            radius=h[..., 33],
+            friction=h[..., 34],
+            restitution=h[..., 35],
+            shape_type=h[..., 36].astype(jnp.int32),
+            rmax=h[..., 37],
+            ghosts=h[..., 38:40] > 0.5)
+
+    sa = unpack_shape(fg[:, :kcap])
+    sb = unpack_shape(fg[:, kcap:])
+    kind = nph.contact_kind(sa["shape_type"], sb["shape_type"])
+    fric = jnp.sqrt(sa["friction"] * sb["friction"])
+    rest = jnp.maximum(sa["restitution"], sb["restitution"])
+
+    # ---- per-lane body constants
+    bstat = jnp.concatenate([bodies.inv_mass[..., None],
+                             bodies.inv_inertia[..., None],
+                             bodies.local_center], axis=-1)  # (W,N,4)
+    bsg = vgather(bstat, kbab)
+    mA = jnp.where(dyn_a, bsg[:, :kcap, 0], 0.0)
+    iA = jnp.where(dyn_a, bsg[:, :kcap, 1], 0.0)
+    lcA = bsg[:, :kcap, 2:4]
+    mB = jnp.where(dyn_b, bsg[:, kcap:, 0], 0.0)
+    iB = jnp.where(dyn_b, bsg[:, kcap:, 1], 0.0)
+    lcB = bsg[:, kcap:, 2:4]
+
+    def flat(x):
+        return x.reshape((n_worlds * kcap,) + x.shape[2:])
+
+    def unflat(x):
+        return x.reshape((n_worlds, kcap) + x.shape[1:])
+
+    rows_a = nph.ShapeRows(verts=flat(sa["verts"]), normals=flat(sa["normals"]),
+                           nverts=flat(sa["nverts"]), ghosts=flat(sa["ghosts"]),
+                           radius=flat(sa["radius"]))
+    rows_b = nph.ShapeRows(verts=flat(sb["verts"]), normals=flat(sb["normals"]),
+                           nverts=flat(sb["nverts"]), ghosts=flat(sb["ghosts"]),
+                           radius=flat(sb["radius"]))
+
+    # packed per-body dynamic state:
+    # [cx, cy, a, c0x, c0y, a0, alpha0, vx, vy, w, awake]
+    body_pack0 = jnp.concatenate([
+        bodies.c, bodies.a[..., None], bodies.c0, bodies.a0[..., None],
+        jnp.zeros((n_worlds, nb, 1), jnp.float32),
+        bodies.v, bodies.w[..., None],
+        bodies.awake.astype(jnp.float32)[..., None]], axis=-1)  # (W,N,11)
+    lane_tc0 = take(contacts.toi_count, sel).astype(jnp.float32)
+
+    def round_body(carry):
+        bp, lane_tc, k, _ = carry
+        bgd = vgather(bp, kbab)                     # (W,2K,11)
+        cA, aA = bgd[:, :kcap, 0:2], bgd[:, :kcap, 2]
+        c0A, a0A = bgd[:, :kcap, 3:5], bgd[:, :kcap, 5]
+        al0A = bgd[:, :kcap, 6]
+        vA, wA = bgd[:, :kcap, 7:9], bgd[:, :kcap, 9]
+        awA = bgd[:, :kcap, 10] > 0.5
+        cB, aB = bgd[:, kcap:, 0:2], bgd[:, kcap:, 2]
+        c0B, a0B = bgd[:, kcap:, 3:5], bgd[:, kcap:, 5]
+        al0B = bgd[:, kcap:, 6]
+        vB, wB = bgd[:, kcap:, 7:9], bgd[:, kcap:, 9]
+        awB = bgd[:, kcap:, 10] > 0.5
+
+        blocked = lane_tc >= settings.MAX_SUB_STEPS
+        al0 = jnp.maximum(al0A, al0B)
+
+        # sync both sweeps to the later alpha0 (b2TimeOfImpact preamble)
+        def sync(c0x, cx, a0x, ax, alpha0x):
+            beta = (al0 - alpha0x) / jnp.where(alpha0x < 1.0,
+                                               1.0 - alpha0x, 1.0)
+            return (c0x + beta[..., None] * (cx - c0x),
+                    a0x + beta * (ax - a0x))
+
+        c0As, a0As = sync(c0A, cA, a0A, aA, al0A)
+        c0Bs, a0Bs = sync(c0B, cB, a0B, aB, al0B)
+
+        # conservative relative-motion bound over the remaining window: a
+        # pair moving less than half a slop cannot tunnel this step
+        dmov = (cA - c0As) - (cB - c0Bs)
+        mb = (jnp.sqrt(jnp.sum(dmov ** 2, axis=-1))
+              + jnp.abs(aA - a0As) * sa["rmax"]
+              + jnp.abs(aB - a0Bs) * sb["rmax"])
+        awake_now = (awA & ns_a) | (awB & ns_b)
+        run = (lane_on & ~blocked & awake_now & (al0 < 1.0)
+               & (mb > 0.5 * settings.LINEAR_SLOP))
 
         tstate, t = jax.vmap(dst.time_of_impact)(
-            fx.verts[ia], fx.nverts[ia], fx.radius[ia],
-            bodies.local_center[ba], c0a, c[ba], a0a, a[ba],
-            fx.verts[ib], fx.nverts[ib], fx.radius[ib],
-            bodies.local_center[bb], c0b, c[bb], a0b, a[bb],
-            jnp.ones(nc, jnp.float32), cand & ~blocked)
+            rows_a.verts, rows_a.nverts, rows_a.radius,
+            flat(lcA), flat(c0As), flat(cA), flat(a0As), flat(aA),
+            rows_b.verts, rows_b.nverts, rows_b.radius,
+            flat(lcB), flat(c0Bs), flat(cB), flat(a0Bs), flat(aB),
+            jnp.ones(n_worlds * kcap, jnp.float32), flat(run))
+        tstate = unflat(tstate)
+        t = unflat(t)
+        alpha = jnp.where(tstate == dst.TOI_TOUCHING,
+                          jnp.minimum(al0 + (1.0 - al0) * t, 1.0), 1.0)
+        alpha = jnp.where(run, alpha, jnp.inf)
+        has_ev = alpha < 1.0 - 10.0 * 1.1920929e-7
 
-        alpha_c = jnp.where(tstate == dst.TOI_TOUCHING,
-                            jnp.minimum(al0 + (1.0 - al0) * t, 1.0), 1.0)
-        alpha_c = jnp.where(cand & ~blocked, alpha_c, jnp.inf)
-        k = jnp.argmin(alpha_c).astype(jnp.int32)
-        alpha_min = alpha_c[k]
-        act = ~done & (alpha_min < 1.0 - 10.0 * 1.1920929e-7)
-        done = done | ~act
-        alpha_min = jnp.where(act, alpha_min, 1.0)
+        # ---- disjoint selection: per non-static body, earliest alpha wins;
+        # ties broken by canonical contact slot (ToiLessThan analog)
+        eidx = jnp.concatenate([jnp.where(ns_a & has_ev, kba, nb),
+                                jnp.where(ns_b & has_ev, kbb, nb)], axis=1)
+        av = jnp.where(has_ev, alpha, jnp.inf)
+        amin = vmin(nb + 1, eidx, jnp.concatenate([av, av], axis=1), jnp.inf)
+        win1 = has_ev & (~ns_a | (alpha <= vgs(amin, kba))) \
+            & (~ns_b | (alpha <= vgs(amin, kbb)))
+        selp = sel.astype(jnp.float32)
+        sv = jnp.where(win1, selp, jnp.inf)
+        eidx2 = jnp.concatenate([jnp.where(ns_a & win1, kba, nb),
+                                 jnp.where(ns_b & win1, kbb, nb)], axis=1)
+        smin = vmin(nb + 1, eidx2, jnp.concatenate([sv, sv], axis=1), jnp.inf)
+        selwin = win1 & (~ns_a | (selp == vgs(smin, kba))) \
+            & (~ns_b | (selp == vgs(smin, kbb)))
+        again = jnp.any(selwin)
+        alpha_s = jnp.where(selwin, alpha, 1.0)
 
-        bA = ba[k]
-        bB = bb[k]
+        # ---- advance both bodies of each selected pair to its alpha
+        def advance(c0x, cx, a0x, ax, alpha0x):
+            beta = (alpha_s - alpha0x) / jnp.where(alpha0x < 1.0,
+                                                   1.0 - alpha0x, 1.0)
+            return (c0x + beta[..., None] * (cx - c0x),
+                    a0x + beta * (ax - a0x))
 
-        # --- advance both bodies to alpha_min (b2Body::Advance)
-        def advance_body(bi):
-            bet = (alpha_min - alpha0[bi]) / jnp.where(
-                alpha0[bi] < 1.0, 1.0 - alpha0[bi], 1.0)
-            c0n = c0[bi] + bet * (c[bi] - c0[bi])
-            a0n = a0[bi] + bet * (a[bi] - a0[bi])
-            return c0n, a0n
+        cAn, aAn = advance(c0A, cA, a0A, aA, al0A)
+        cBn, aBn = advance(c0B, cB, a0B, aB, al0B)
 
-        c0A, a0A = advance_body(bA)
-        c0B, a0B = advance_body(bB)
-
-        def upd(arr, i, val, on):
-            return arr.at[i].set(jnp.where(on, val, arr[i]))
-
-        c = upd(c, bA, c0A, act)
-        a = upd(a, bA, a0A, act)
-        c0 = upd(c0, bA, c0A, act)
-        a0 = upd(a0, bA, a0A, act)
-        alpha0 = upd(alpha0, bA, alpha_min, act)
-        c = upd(c, bB, c0B, act)
-        a = upd(a, bB, a0B, act)
-        c0 = upd(c0, bB, c0B, act)
-        a0 = upd(a0, bB, a0B, act)
-        alpha0 = upd(alpha0, bB, alpha_min, act)
-
-        # --- re-collide the pair at the TOI transforms
-        fa_k = ia[k]
-        fb_k = ib[k]
-        rows_a = _gather_rows(fx, fa_k)
-        rows_b = _gather_rows(fx, fb_k)
-        kind = nph.contact_kind(fx.shape_type[fa_k], fx.shape_type[fb_k])
-        qA = rot_from_angle(a[bA])
-        pA = c[bA] - rot_vec(qA, bodies.local_center[bA])
-        qB = rot_from_angle(a[bB])
-        pB = c[bB] - rot_vec(qB, bodies.local_center[bB])
-        man = nph.collide(kind, rows_a, pA, qA, rows_b, pB, qB)
+        # ---- re-evaluate the manifold at the advanced transforms
+        qA1 = rot_from_angle(aAn)
+        pA1 = cAn - rot_vec(qA1, lcA)
+        qB1 = rot_from_angle(aBn)
+        pB1 = cBn - rot_vec(qB1, lcB)
+        man = jax.vmap(lambda *ar: nph.collide(*ar, kinds=kinds))(
+            flat(kind), rows_a, flat(pA1), flat(qA1),
+            rows_b, flat(pB1), flat(qB1))
+        man = jax.tree.map(unflat, man)
         hit = man.count > 0
-        # mark this pair consumed either way (reference bumps m_toiCount /
-        # disables non-touching TOI contacts for the rest of the step)
-        blocked = blocked.at[k].set(jnp.where(act, True, blocked[k]))
+        # no manifold at the TOI: restore (skip all writes) and mark the
+        # pair consumed (b2World.cpp:928-940)
+        solve = selwin & hit
+        lane_tc = lane_tc + selwin.astype(jnp.float32)
 
-        solve = act & hit
-        mA = jnp.where(bodies.is_dynamic[bA], bodies.inv_mass[bA], 0.0)
-        iA = jnp.where(bodies.is_dynamic[bA], bodies.inv_inertia[bA], 0.0)
-        mB = jnp.where(bodies.is_dynamic[bB], bodies.inv_mass[bB], 0.0)
-        iB = jnp.where(bodies.is_dynamic[bB], bodies.inv_inertia[bB], 0.0)
-        lcA = bodies.local_center[bA]
-        lcB = bodies.local_center[bB]
-        raf = fx.radius[fa_k]
-        rbf = fx.radius[fb_k]
-        pc_k = man.count
-        mpx = (man.points[0, 0], man.points[1, 0])
-        mpy = (man.points[0, 1], man.points[1, 1])
+        # ---- TOI position sub-solve: 20 iterations, beta = 0.75
+        mpx = (man.points[..., 0, 0], man.points[..., 1, 0])
+        mpy = (man.points[..., 0, 1], man.points[..., 1, 1])
 
-        # --- TOI position sub-solve: 20 iterations, beta = 0.75
-        def pos_pass(_, pcar):
-            cax, cay, aa_, cbx, cby, ab_ = pcar
+        def pos_pass(_, pc):
+            cax, cay, aa_, cbx, cby, ab_ = pc
             cax, cay, aa_, cbx, cby, ab_, _ = position_contact_math_s(
-                man.mtype, pc_k, mA, mB, iA, iB, raf, rbf,
-                lcA[0], lcA[1], lcB[0], lcB[1],
-                man.local_point[0], man.local_point[1],
-                man.local_normal[0], man.local_normal[1],
+                man.mtype, man.count, mA, mB, iA, iB,
+                sa["radius"], sb["radius"],
+                lcA[..., 0], lcA[..., 1], lcB[..., 0], lcB[..., 1],
+                man.local_point[..., 0], man.local_point[..., 1],
+                man.local_normal[..., 0], man.local_normal[..., 1],
                 mpx, mpy, cax, cay, aa_, cbx, cby, ab_, solve,
                 settings.TOI_BAUMGARTE, settings.MAX_LINEAR_CORRECTION)
             return cax, cay, aa_, cbx, cby, ab_
 
         cax, cay, aa_, cbx, cby, ab_ = jax.lax.fori_loop(
             0, 20, pos_pass,
-            (c[bA, 0], c[bA, 1], a[bA], c[bB, 0], c[bB, 1], a[bB]))
+            (cAn[..., 0], cAn[..., 1], aAn, cBn[..., 0], cBn[..., 1], aBn))
 
-        cA_new = jnp.stack([cax, cay])
-        cB_new = jnp.stack([cbx, cby])
-        c = upd(c, bA, cA_new, solve)
-        a = upd(a, bA, aa_, solve)
-        c = upd(c, bB, cB_new, solve)
-        a = upd(a, bB, ab_, solve)
-        # leap of faith (b2Island.cpp:468-471)
-        c0 = upd(c0, bA, cA_new, solve)
-        a0 = upd(a0, bA, aa_, solve)
-        c0 = upd(c0, bB, cB_new, solve)
-        a0 = upd(a0, bB, ab_, solve)
+        # ---- velocity sub-solve (no warm start) at the solved configuration
+        qA2 = rot_from_angle(aa_)
+        cA2 = jnp.stack([cax, cay], axis=-1)
+        pA2 = cA2 - rot_vec(qA2, lcA)
+        qB2 = rot_from_angle(ab_)
+        cB2 = jnp.stack([cbx, cby], axis=-1)
+        pB2 = cB2 - rot_vec(qB2, lcB)
+        normal, pts, _ = jax.vmap(csolver.world_manifold)(
+            flat(man.mtype), flat(man.local_point), flat(man.local_normal),
+            flat(man.points), flat(man.count), flat(pA2), flat(qA2),
+            rows_a.radius, flat(pB2), flat(qB2), rows_b.radius)
+        normal = unflat(normal)
+        pts = unflat(pts)
 
-        # --- velocity sub-solve (no warm start) at the TOI configuration
-        qA2 = rot_from_angle(a[bA])
-        pA2 = c[bA] - rot_vec(qA2, lcA)
-        qB2 = rot_from_angle(a[bB])
-        pB2 = c[bB] - rot_vec(qB2, lcB)
-        normal, pts, _ = csolver.world_manifold(
-            man.mtype, man.local_point, man.local_normal, man.points,
-            man.count, pA2, qA2, raf, pB2, qB2, rbf)
-        r_a = pts - c[bA][None, :]
-        r_b = pts - c[bB][None, :]
-        nx, ny = normal[0], normal[1]
-        rn_a = r_a[:, 0] * ny - r_a[:, 1] * nx
-        rn_b = r_b[:, 0] * ny - r_b[:, 1] * nx
-        k_n = mA + mB + iA * rn_a ** 2 + iB * rn_b ** 2
+        r_a = pts - cA2[:, :, None, :]              # (W,K,2,2)
+        r_b = pts - cB2[:, :, None, :]
+        nx, ny = normal[..., 0], normal[..., 1]
+        rn_a = r_a[..., 0] * ny[..., None] - r_a[..., 1] * nx[..., None]
+        rn_b = r_b[..., 0] * ny[..., None] - r_b[..., 1] * nx[..., None]
+        k_n = (mA + mB)[..., None] + iA[..., None] * rn_a ** 2 \
+            + iB[..., None] * rn_b ** 2
         nm = jnp.where(k_n > 0.0, 1.0 / jnp.where(k_n > 0.0, k_n, 1.0), 0.0)
         tx, ty = ny, -nx
-        rt_a = r_a[:, 0] * ty - r_a[:, 1] * tx
-        rt_b = r_b[:, 0] * ty - r_b[:, 1] * tx
-        k_t = mA + mB + iA * rt_a ** 2 + iB * rt_b ** 2
+        rt_a = r_a[..., 0] * ty[..., None] - r_a[..., 1] * tx[..., None]
+        rt_b = r_b[..., 0] * ty[..., None] - r_b[..., 1] * tx[..., None]
+        k_t = (mA + mB)[..., None] + iA[..., None] * rt_a ** 2 \
+            + iB[..., None] * rt_b ** 2
         tm = jnp.where(k_t > 0.0, 1.0 / jnp.where(k_t > 0.0, k_t, 1.0), 0.0)
-        fric = jnp.sqrt(fx.friction[fa_k] * fx.friction[fb_k])
-        rest = jnp.maximum(fx.restitution[fa_k], fx.restitution[fb_k])
-        dvx = v[bB, 0] - w[bB] * r_b[:, 1] - v[bA, 0] + w[bA] * r_a[:, 1]
-        dvy = v[bB, 1] + w[bB] * r_b[:, 0] - v[bA, 1] - w[bA] * r_a[:, 0]
-        v_rel = dvx * nx + dvy * ny
-        bias = jnp.where(v_rel < -settings.VELOCITY_THRESHOLD, -rest * v_rel, 0.0)
-        k11 = k_n[0]
-        k22 = k_n[1]
-        k12 = mA + mB + iA * rn_a[0] * rn_a[1] + iB * rn_b[0] * rn_b[1]
+        dvx = (vB[..., 0:1] - wB[..., None] * r_b[..., 1]
+               - vA[..., 0:1] + wA[..., None] * r_a[..., 1])
+        dvy = (vB[..., 1:2] + wB[..., None] * r_b[..., 0]
+               - vA[..., 1:2] - wA[..., None] * r_a[..., 0])
+        v_rel = dvx * nx[..., None] + dvy * ny[..., None]
+        bias = jnp.where(v_rel < -settings.VELOCITY_THRESHOLD,
+                         -rest[..., None] * v_rel, 0.0)
+        k11 = k_n[..., 0]
+        k22 = k_n[..., 1]
+        k12 = mA + mB + iA * rn_a[..., 0] * rn_a[..., 1] \
+            + iB * rn_b[..., 0] * rn_b[..., 1]
         det = k11 * k22 - k12 * k12
         well = k11 * k11 < 1000.0 * det
-        pc2 = jnp.where((pc_k == 2) & ~well, 1, pc_k)
-        inv_det = jnp.where(det != 0.0, 1.0 / jnp.where(det != 0.0, det, 1.0), 0.0)
+        pc2 = jnp.where((man.count == 2) & ~well, 1, man.count)
+        inv_det = jnp.where(det != 0.0,
+                            1.0 / jnp.where(det != 0.0, det, 1.0), 0.0)
 
-        def vel_pass(_, vcar):
-            ni0, ni1, ti0, ti1, vax, vay, wa_, vbx, vby, wb_ = vcar
-            (ni0n, ni1n), (ti0n, ti1n), vax, vay, wa_, vbx, vby, wb_ = \
+        def vel_pass(_, vc):
+            ni0, ni1, ti0, ti1, vax, vay, wa_, vbx, vby, wb_ = vc
+            (ni0, ni1), (ti0, ti1), vax, vay, wa_, vbx, vby, wb_ = \
                 velocity_contact_math_s(
                     fric, jnp.float32(0.0), mA, mB, iA, iB, nx, ny,
-                    (r_a[0, 0], r_a[1, 0]), (r_a[0, 1], r_a[1, 1]),
-                    (r_b[0, 0], r_b[1, 0]), (r_b[0, 1], r_b[1, 1]),
-                    (nm[0], nm[1]), (tm[0], tm[1]), (bias[0], bias[1]),
+                    (r_a[..., 0, 0], r_a[..., 1, 0]),
+                    (r_a[..., 0, 1], r_a[..., 1, 1]),
+                    (r_b[..., 0, 0], r_b[..., 1, 0]),
+                    (r_b[..., 0, 1], r_b[..., 1, 1]),
+                    (nm[..., 0], nm[..., 1]), (tm[..., 0], tm[..., 1]),
+                    (bias[..., 0], bias[..., 1]),
                     k11, k12, k22, inv_det * k22, -inv_det * k12,
                     inv_det * k11, pc2,
                     (ni0, ni1), (ti0, ti1),
                     vax, vay, wa_, vbx, vby, wb_, solve)
-            return ni0n, ni1n, ti0n, ti1n, vax, vay, wa_, vbx, vby, wb_
+            return ni0, ni1, ti0, ti1, vax, vay, wa_, vbx, vby, wb_
 
-        z = jnp.float32(0.0)
+        z = jnp.zeros_like(fric)
         _, _, _, _, vax, vay, wa_, vbx, vby, wb_ = jax.lax.fori_loop(
             0, velocity_iterations, vel_pass,
-            (z, z, z, z, v[bA, 0], v[bA, 1], w[bA], v[bB, 0], v[bB, 1], w[bB]))
-        v = upd(v, bA, jnp.stack([vax, vay]), solve)
-        w = upd(w, bA, wa_, solve)
-        v = upd(v, bB, jnp.stack([vbx, vby]), solve)
-        w = upd(w, bB, wb_, solve)
+            (z, z, z, z, vA[..., 0], vA[..., 1], wA,
+             vB[..., 0], vB[..., 1], wB))
 
-        # --- complete the remainder of the step for the pair
-        h = (1.0 - alpha_min) * dt
+        # ---- complete the remainder of the step for the pair
+        h = (1.0 - jnp.where(selwin, alpha_s, 1.0)) * dt
 
-        def integrate_one(bi):
-            vv, ww = v[bi], w[bi]
-            t2 = h * h * (vv[0] ** 2 + vv[1] ** 2)
-            rat = jnp.where(t2 > settings.MAX_TRANSLATION_SQUARED,
-                            settings.MAX_TRANSLATION / jnp.sqrt(jnp.maximum(t2, 1e-30)), 1.0)
-            vv = vv * rat
-            rot = h * ww
-            ratr = jnp.where(rot * rot > settings.MAX_ROTATION_SQUARED,
-                             settings.MAX_ROTATION / jnp.abs(jnp.where(rot == 0.0, 1.0, rot)), 1.0)
-            ww = ww * ratr
-            dyn_i = bodies.is_dynamic[bi] | (bodies.body_type[bi] == settings.KINEMATIC_BODY)
-            return (jnp.where(dyn_i, c[bi] + h * vv, c[bi]),
-                    jnp.where(dyn_i, a[bi] + h * ww, a[bi]), vv, ww)
+        def integrate_lane(cx, cy, a_, vx, vy, w_, movable):
+            t2 = h * h * (vx ** 2 + vy ** 2)
+            rat = jnp.where(
+                t2 > settings.MAX_TRANSLATION_SQUARED,
+                settings.MAX_TRANSLATION / jnp.sqrt(jnp.maximum(t2, 1e-30)),
+                1.0)
+            vx = vx * rat
+            vy = vy * rat
+            rot = h * w_
+            ratr = jnp.where(
+                rot * rot > settings.MAX_ROTATION_SQUARED,
+                settings.MAX_ROTATION
+                / jnp.abs(jnp.where(rot == 0.0, 1.0, rot)), 1.0)
+            w_ = w_ * ratr
+            return (jnp.where(movable, cx + h * vx, cx),
+                    jnp.where(movable, cy + h * vy, cy),
+                    jnp.where(movable, a_ + h * w_, a_), vx, vy, w_)
 
-        cA3, aA3, vA3, wA3 = integrate_one(bA)
-        cB3, aB3, vB3, wB3 = integrate_one(bB)
-        c = upd(c, bA, cA3, solve)
-        a = upd(a, bA, aA3, solve)
-        v = upd(v, bA, vA3, solve)
-        w = upd(w, bA, wA3, solve)
-        c = upd(c, bB, cB3, solve)
-        a = upd(a, bB, aB3, solve)
-        v = upd(v, bB, vB3, solve)
-        w = upd(w, bB, wB3, solve)
+        cAfx, cAfy, aAf, vax, vay, wa_ = integrate_lane(
+            cax, cay, aa_, vax, vay, wa_, ns_a)
+        cBfx, cBfy, aBf, vbx, vby, wb_ = integrate_lane(
+            cbx, cby, ab_, vbx, vby, wb_, ns_b)
 
-        # wake the pair on impact
-        awake = awake.at[bA].set(jnp.where(solve & ~bodies.is_static[bA], True, awake[bA]))
-        awake = awake.at[bB].set(jnp.where(solve & ~bodies.is_static[bB], True, awake[bB]))
-        return c, a, c0, a0, alpha0, v, w, awake, blocked, done
+        # ---- one packed scatter of body deltas (selected pairs are
+        # body-disjoint, so add == set)
+        def mk_delta(on, cfx, cfy, af, c0fx, c0fy, a0f, vfx, vfy, wf,
+                     c_o, a_o, c0_o, a0_o, al0_o, v_o, w_o, aw_o):
+            onf = on.astype(jnp.float32)[..., None]
+            d = jnp.stack([
+                cfx - c_o[..., 0], cfy - c_o[..., 1], af - a_o,
+                c0fx - c0_o[..., 0], c0fy - c0_o[..., 1], a0f - a0_o,
+                alpha_s - al0_o,
+                vfx - v_o[..., 0], vfy - v_o[..., 1], wf - w_o,
+                (~aw_o).astype(jnp.float32)], axis=-1)
+            return d * onf
 
-    blocked0 = contacts.toi_count >= settings.MAX_SUB_STEPS
-    carry = (bodies.c, bodies.a, bodies.c0, bodies.a0,
-             jnp.zeros(nb, jnp.float32), bodies.v, bodies.w, bodies.awake,
-             blocked0, jnp.bool_(False))
-    def toi_cond(rc):
-        k, inner = rc
-        return (k < toi_rounds) & ~inner[-1]
+        # leap of faith: sweep restarts at the position-solved configuration
+        dA = mk_delta(solve & ns_a, cAfx, cAfy, aAf, cax, cay, aa_,
+                      vax, vay, wa_, cA, aA, c0A, a0A, al0A, vA, wA, awA)
+        dB = mk_delta(solve & ns_b, cBfx, cBfy, aBf, cbx, cby, ab_,
+                      vbx, vby, wb_, cB, aB, c0B, a0B, al0B, vB, wB, awB)
+        bp = vscatter(bp, kbab, jnp.concatenate([dA, dB], axis=1))
+        return bp, lane_tc, k + 1, again
 
-    def toi_body(rc):
-        k, inner = rc
-        return k + 1, round_body(k, inner)
+    def toi_cond(carry):
+        return (carry[2] < toi_rounds) & carry[3]
 
-    _, (c, a, c0, a0, alpha0, v, w, awake, blocked, _) = jax.lax.while_loop(
-        toi_cond, toi_body, (jnp.int32(0), carry))
+    bp, lane_tc, _, _ = jax.lax.while_loop(
+        toi_cond, round_body,
+        (body_pack0, lane_tc0, jnp.int32(0), jnp.bool_(True)))
 
-    bodies = dataclasses.replace(
-        state.bodies, c=c, a=a, c0=c0, a0=a0,
-        alpha0=jnp.zeros(nb, jnp.float32), v=v, w=w, awake=awake)
-    return dataclasses.replace(state, bodies=bodies)
+    # scatter the lane sub-step counts back to the contact table
+    tc_add = vscatter(jnp.zeros((n_worlds, nc, 1), jnp.float32), sel,
+                      (lane_tc - lane_tc0)[..., None])[..., 0]
+    contacts2 = dataclasses.replace(
+        contacts,
+        toi_count=contacts.toi_count + tc_add.astype(jnp.int32))
+    bodies2 = dataclasses.replace(
+        bodies, c=bp[..., 0:2], a=bp[..., 2], c0=bp[..., 3:5], a0=bp[..., 5],
+        alpha0=jnp.zeros((n_worlds, nb), jnp.float32),
+        v=bp[..., 7:9], w=bp[..., 9], awake=bp[..., 10] > 0.5)
+    new_states = dataclasses.replace(states, bodies=bodies2,
+                                     contacts=contacts2)
+    return new_states, toi_overflow
+
+
+def possible_kinds(state: State) -> tuple:
+    """Host helper: the static tuple of contact kinds this world's shape
+    types can produce. Pass to step/step_batched/make_rollout so absent
+    colliders compile away entirely (a boxes-only scene never runs the
+    EPCollider). Works on single or batched states."""
+    st = np.asarray(state.fixtures.shape_type).reshape(-1)
+    bd = np.asarray(state.fixtures.body).reshape(-1)
+    types = {int(t) for t, b in zip(st.tolist(), bd.tolist()) if b >= 0}
+    c, e, p = (settings.SHAPE_CIRCLE, settings.SHAPE_EDGE,
+               settings.SHAPE_POLYGON)
+    kinds = []
+    if c in types:
+        kinds.append(nph.KIND_CIRCLES)
+    if p in types and c in types:
+        kinds.append(nph.KIND_POLYGON_CIRCLE)
+    if p in types:
+        kinds.append(nph.KIND_POLYGONS)
+    if e in types and c in types:
+        kinds.append(nph.KIND_EDGE_CIRCLE)
+    if e in types and p in types:
+        kinds.append(nph.KIND_EDGE_POLYGON)
+    return tuple(kinds) if kinds else (nph.KIND_CIRCLES,)
 
 
 @partial(jax.jit, static_argnames=(
     "velocity_iterations", "position_iterations", "warm_starting",
-    "allow_sleep", "max_colors", "continuous", "toi_rounds"))
+    "allow_sleep", "max_colors", "continuous", "toi_rounds", "kinds",
+    "toi_capacity"))
+def step_batched(states: State, dt, velocity_iterations: int = 8,
+                 position_iterations: int = 3, warm_starting: bool = True,
+                 allow_sleep: bool = True,
+                 max_colors: int = settings.MAX_COLORS,
+                 continuous: bool = True, toi_rounds: int = 8,
+                 kinds=nph.ALL_KINDS, toi_capacity=None
+                 ) -> Tuple[State, Events]:
+    """One world-step over a batch of worlds (leading axis on every State
+    leaf). This is the production entry point: control flow (iteration
+    loops, the dynamic color count, the TOI round loop, the gated pair
+    refresh) lives ABOVE the world batch so the whole batch shares one
+    scalar-predicated program — the fused-XLA analog of b2World::Step
+    driving every phase (b2World.cpp:1613-1710)."""
+    dt = jnp.asarray(dt, jnp.float32)
+    if toi_capacity is None:
+        toi_capacity = max(32, states.contacts.capacity // 8)
+    n_worlds = states.bodies.body_type.shape[0]
+
+    pre = jax.vmap(
+        lambda s: _pre_solve(s, dt, warm_starting, max_colors, kinds))(states)
+    mids = _solve_middle_b(states, pre, dt, velocity_iterations,
+                           position_iterations, warm_starting, max_colors)
+    new_state, events = _post_solve_b(states, pre, dt, allow_sleep, mids)
+    if continuous and toi_rounds > 0:
+        new_state, toi_overflow = _solve_toi_b(
+            new_state, dt, velocity_iterations, toi_rounds, kinds,
+            toi_capacity)
+    else:
+        toi_overflow = jnp.zeros((n_worlds,), jnp.int32)
+    return new_state, events._replace(toi_overflow=toi_overflow)
+
+
+@partial(jax.jit, static_argnames=(
+    "velocity_iterations", "position_iterations", "warm_starting",
+    "allow_sleep", "max_colors", "continuous", "toi_rounds", "kinds",
+    "toi_capacity"))
 def step(state: State, dt, velocity_iterations: int = 8,
          position_iterations: int = 3, warm_starting: bool = True,
          allow_sleep: bool = True, max_colors: int = settings.MAX_COLORS,
-         continuous: bool = True, toi_rounds: int = 8
-         ) -> Tuple[State, Events]:
-    dt = jnp.asarray(dt, jnp.float32)
-    pre = _pre_solve(state, dt, warm_starting, max_colors)
-    mids = _solve_middle_xla(state, pre, dt, velocity_iterations,
-                             position_iterations, warm_starting, max_colors)
-    new_state, events = _post_solve(state, pre, dt, allow_sleep, *mids)
-    if continuous and toi_rounds > 0:
-        new_state = _solve_toi(new_state, dt, velocity_iterations, toi_rounds)
-    return new_state, events
-
-
-@partial(jax.jit, static_argnames=(
-    "velocity_iterations", "position_iterations", "warm_starting",
-    "allow_sleep", "max_colors", "tile_worlds"))
-def step_batched_pallas(states: State, dt, velocity_iterations: int = 8,
-                        position_iterations: int = 3, warm_starting: bool = True,
-                        allow_sleep: bool = True,
-                        max_colors: int = settings.MAX_COLORS,
-                        tile_worlds: int = 8) -> Tuple[State, Events]:
-    """Batched step whose solver middle phase runs as ONE fused Pallas
-    kernel across all worlds (ops/pallas_solver.py). Joint-free worlds only
-    (joints interleave per iteration and currently solve in XLA)."""
-    from .ops import pallas_solver
-
-    assert not joints_present(states.joints), (
-        "step_batched_pallas: worlds with joints must use the XLA path")
-    dt = jnp.asarray(dt, jnp.float32)
-
-    pre = jax.vmap(lambda s: _pre_solve(s, dt, warm_starting, max_colors))(states)
-
-    cf, ci = jax.vmap(pallas_solver.pack_for_kernel)(pre.cc, pre.color)
-    zeros_n = jnp.zeros_like(states.bodies.a)
-    bsps = jnp.stack([
-        pre.bs[..., 0], pre.bs[..., 1], pre.bs[..., 2],
-        pre.solve_mask.astype(jnp.float32),
-        states.bodies.c[..., 0], states.bodies.c[..., 1], states.bodies.a,
-        zeros_n], axis=1)                                  # (W, 8, N)
-    imp = jnp.stack([pre.ni_it[..., 0], pre.ni_it[..., 1],
-                     pre.ti_it[..., 0], pre.ti_it[..., 1]], axis=1)  # (W,4,C)
-
-    imp, bsps, min_sep = pallas_solver.fused_solve(
-        cf, ci, imp, bsps, dt, vel_iters=velocity_iterations,
-        pos_iters=position_iterations, max_colors=max_colors,
-        tile_worlds=tile_worlds)
-
-    ni_it = jnp.stack([imp[:, 0], imp[:, 1]], axis=-1)
-    ti_it = jnp.stack([imp[:, 2], imp[:, 3]], axis=-1)
-    v = jnp.stack([bsps[:, 0], bsps[:, 1]], axis=-1)
-    w = bsps[:, 2]
-    c = jnp.stack([bsps[:, 4], bsps[:, 5]], axis=-1)
-    a = bsps[:, 6]
-    nb = states.bodies.capacity
-    jok = jnp.ones((pre.bs.shape[0], nb), bool)
-
-    return jax.vmap(
-        lambda s, p, nii, tii, cc_, aa_, vv_, ww_, ms_, jk_: _post_solve(
-            s, p, dt, allow_sleep, nii, tii, cc_, aa_, vv_, ww_, ms_, jk_,
-            s.joints)
-    )(states, pre, ni_it, ti_it, c, a, v, w, min_sep, jok)
+         continuous: bool = True, toi_rounds: int = 8,
+         kinds=nph.ALL_KINDS, toi_capacity=None) -> Tuple[State, Events]:
+    """Single-world step: batch of one through step_batched."""
+    states = jax.tree.map(lambda x: x[None], state)
+    out, ev = step_batched(
+        states, dt, velocity_iterations=velocity_iterations,
+        position_iterations=position_iterations, warm_starting=warm_starting,
+        allow_sleep=allow_sleep, max_colors=max_colors, continuous=continuous,
+        toi_rounds=toi_rounds, kinds=kinds, toi_capacity=toi_capacity)
+    return (jax.tree.map(lambda x: x[0], out),
+            jax.tree.map(lambda x: x[0], ev))
 
 
 # --------------------------------------------------------------------------
@@ -960,6 +1216,7 @@ class WorldBuilder:
             joints=joints,
             gravity=jnp.asarray(self.gravity, jnp.float32),
             inv_dt0=jnp.float32(0.0),
+            pairs_dirty=jnp.asarray(False),
         )
         return _init_broadphase(state)
 
