@@ -97,59 +97,163 @@ class _PreSolve(NamedTuple):
     end_touch: jax.Array
 
 
+def _collide_b(states: State, kinds):
+    """Batched narrow phase (b2ContactManager::Collide fan-out analog,
+    b2World.cpp:100-118). The first (statically dominant) kind runs dense
+    over the whole contact table; every other kind is compacted to its own
+    lanes and processed in fixed-size chunks under a while loop sized by the
+    actual per-step count — a scene with 10 edge contacts pays for one
+    32-lane EPCollider chunk instead of a capacity-wide pass.
+
+    Returns (manifold (W,C,...), sensor, ba, bb)."""
+    fx = states.fixtures
+    contacts = states.contacts
+    bodies = states.bodies
+    n_worlds = fx.body.shape[0]
+    nf = fx.capacity
+    nc = contacts.capacity
+    vgather = jax.vmap(gather_rows)
+
+    ia = jnp.clip(contacts.f_a, 0)
+    ib = jnp.clip(contacts.f_b, 0)
+    pair_exists = contacts.f_a >= 0
+    iab = jnp.concatenate([ia, ib], axis=1)             # (W,2C)
+
+    # pack all per-fixture shape data into one blob: ONE gather for the
+    # whole narrow phase (TPU gathers dominate otherwise)
+    fblob = jnp.concatenate([
+        fx.verts.reshape(n_worlds, nf, 16),
+        fx.normals.reshape(n_worlds, nf, 16),
+        fx.radius[..., None], fx.nverts.astype(jnp.float32)[..., None],
+        fx.ghosts.astype(jnp.float32),
+        fx.shape_type.astype(jnp.float32)[..., None],
+        fx.body.astype(jnp.float32)[..., None],
+        fx.is_sensor.astype(jnp.float32)[..., None],
+    ], axis=-1)                                         # (W,F,39)
+    g = vgather(fblob, iab)                             # (W,2C,39)
+
+    def unpack_rows(r):
+        return nph.ShapeRows(
+            verts=r[..., 0:16].reshape(-1, 8, 2),
+            normals=r[..., 16:32].reshape(-1, 8, 2),
+            nverts=r[..., 33].astype(jnp.int32),
+            ghosts=r[..., 34:36] > 0.5,
+            radius=r[..., 32])
+
+    type_ab = g[..., 36].astype(jnp.int32)
+    body_ab = jnp.clip(g[..., 37].astype(jnp.int32), 0)
+    ba, bb = body_ab[:, :nc], body_ab[:, nc:]
+    sensor = (g[:, :nc, 38] > 0.5) | (g[:, nc:, 38] > 0.5)
+    kind = nph.contact_kind(type_ab[:, :nc], type_ab[:, nc:])
+
+    p_all, q_all = jax.vmap(_body_xf)(bodies)
+    pq = jnp.concatenate([p_all, q_all], axis=-1)       # (W,N,4)
+    pq_ab = vgather(pq, body_ab)                        # (W,2C,4)
+
+    # ---- dense pass for the dominant kind
+    primary = kinds[0]
+    flat2 = lambda x: x.reshape((n_worlds * nc,) + x.shape[2:])
+    man_p = jax.vmap(nph._COLLIDERS[primary])(
+        unpack_rows(flat2(g[:, :nc])),
+        flat2(pq_ab[:, :nc, 0:2]), flat2(pq_ab[:, :nc, 2:4]),
+        unpack_rows(flat2(g[:, nc:])),
+        flat2(pq_ab[:, nc:, 0:2]), flat2(pq_ab[:, nc:, 2:4]))
+    man_p = jax.tree.map(
+        lambda x: x.reshape((n_worlds, nc) + x.shape[1:]), man_p)
+    is_primary = kind == primary
+    manifold = man_p._replace(
+        count=jnp.where(is_primary & pair_exists, man_p.count, 0))
+    if len(kinds) == 1:
+        return manifold, sensor, ba, bb
+
+    # ---- chunked compacted passes for the remaining kinds
+    # manifold accumulator blob:
+    # [mtype, lp(2), ln(2), pts(4), count, ids_lo(2), ids_hi(2)] = 14
+    acc = jnp.zeros((n_worlds, nc, 14), jnp.float32)
+    any_secondary = jnp.zeros((n_worlds, nc), bool)
+    ck = max(32, nc // 8)
+
+    for k in kinds[1:]:
+        mask = (kind == k) & pair_exists
+        order = jnp.argsort(jnp.where(mask, 0, 1).astype(jnp.int32),
+                            axis=1, stable=True)        # (W,C) actives first
+        cnt = jnp.sum(mask, axis=1)                     # (W,)
+        maxc = jnp.max(cnt)
+        coll = nph._COLLIDERS[k]
+
+        def chunk_body(carry, coll=coll, order=order, cnt=cnt):
+            acc, any_sec, c = carry
+            idx = jax.lax.dynamic_slice(
+                order, (jnp.int32(0), c * ck), (n_worlds, ck))  # (W,ck)
+            valid = (c * ck + jnp.arange(ck))[None, :] < cnt[:, None]
+            gl = vgather(g, jnp.concatenate([idx, idx + nc], axis=1))
+            pql = vgather(pq_ab.reshape(n_worlds, 2 * nc, 4),
+                          jnp.concatenate([idx, idx + nc], axis=1))
+            flatk = lambda x: x.reshape((n_worlds * ck,) + x.shape[2:])
+            man = jax.vmap(coll)(
+                unpack_rows(flatk(gl[:, :ck])),
+                flatk(pql[:, :ck, 0:2]), flatk(pql[:, :ck, 2:4]),
+                unpack_rows(flatk(gl[:, ck:])),
+                flatk(pql[:, ck:, 0:2]), flatk(pql[:, ck:, 2:4]))
+            man = jax.tree.map(
+                lambda x: x.reshape((n_worlds, ck) + x.shape[1:]), man)
+            lane_blob = jnp.concatenate([
+                man.mtype.astype(jnp.float32)[..., None],
+                man.local_point, man.local_normal,
+                man.points.reshape(n_worlds, ck, 4),
+                man.count.astype(jnp.float32)[..., None],
+                (man.ids & 0xFFFF).astype(jnp.float32),
+                ((man.ids >> 16) & 0xFFFF).astype(jnp.float32),
+            ], axis=-1) * valid[..., None]              # (W,ck,14)
+            # scatter-add into the accumulator (lanes are unique slots)
+            oh = ((idx[:, :, None] == jnp.arange(nc)[None, None, :])
+                  & valid[:, :, None]).astype(jnp.float32)  # (W,ck,C)
+            acc = acc + jnp.einsum(
+                "wkc,wkd->wcd", oh, lane_blob,
+                precision=jax.lax.Precision.HIGHEST)
+            any_sec = any_sec | (jnp.sum(oh, axis=1) > 0.5)
+            return (acc, any_sec, c + 1)
+
+        def chunk_cond(carry, maxc=maxc):
+            return carry[2] * ck < maxc
+
+        acc, any_secondary, _ = jax.lax.while_loop(
+            chunk_cond, lambda c: chunk_body(c),
+            (acc, any_secondary, jnp.int32(0)))
+
+    sec_ids = (acc[..., 10:12].astype(jnp.int32)
+               | (acc[..., 12:14].astype(jnp.int32) << 16))
+    sec = nph.Manifold(
+        mtype=acc[..., 0].astype(jnp.int32),
+        local_point=acc[..., 1:3], local_normal=acc[..., 3:5],
+        points=acc[..., 5:9].reshape(n_worlds, nc, 2, 2),
+        ids=sec_ids, count=acc[..., 9].astype(jnp.int32))
+    w2 = any_secondary
+    manifold = nph.Manifold(
+        mtype=jnp.where(w2, sec.mtype, manifold.mtype),
+        local_point=jnp.where(w2[..., None], sec.local_point,
+                              manifold.local_point),
+        local_normal=jnp.where(w2[..., None], sec.local_normal,
+                               manifold.local_normal),
+        points=jnp.where(w2[..., None, None], sec.points, manifold.points),
+        ids=jnp.where(w2[..., None], sec.ids, manifold.ids),
+        count=jnp.where(w2, sec.count, manifold.count))
+    return manifold, sensor, ba, bb
+
+
 def _pre_solve(state: State, dt, warm_starting: bool, max_colors: int,
-               kinds=nph.ALL_KINDS) -> _PreSolve:
-    """Collide phase + island/coloring/constraint prep + contact warm start
-    (b2World Collide + the head of Solve)."""
+               manifold: nph.Manifold, sensor, ba, bb) -> _PreSolve:
+    """Post-collide prep: touch transitions + warm-start id matching +
+    island/coloring/constraint init (b2Contact::Update + the head of
+    b2World::Solve). The manifolds themselves come from _collide_b."""
     bodies = state.bodies
     fx = state.fixtures
     contacts = state.contacts
     nb = bodies.capacity
     nf = fx.capacity
-
-    # ---------------------------------------------------------- 1. Collide
-    ia = jnp.clip(contacts.f_a, 0)
-    ib = jnp.clip(contacts.f_b, 0)
-    pair_exists = contacts.f_a >= 0
-    iab = jnp.concatenate([ia, ib])
     nc = contacts.capacity
+    pair_exists = contacts.f_a >= 0
 
-    # pack all per-fixture shape data into one blob so the narrow phase does
-    # a single gather per step (TPU gathers dominate otherwise)
-    fblob = jnp.concatenate([
-        fx.verts.reshape(nf, 16), fx.normals.reshape(nf, 16),
-        fx.radius[:, None], fx.nverts.astype(jnp.float32)[:, None],
-        fx.ghosts.astype(jnp.float32),
-        fx.shape_type.astype(jnp.float32)[:, None],
-        fx.body.astype(jnp.float32)[:, None],
-        fx.is_sensor.astype(jnp.float32)[:, None],
-    ], axis=1)                                          # (F, 39)
-    g = gather_rows(fblob, iab)                         # ONE gather (2C, 39)
-
-    def unpack_rows(r):
-        return nph.ShapeRows(
-            verts=r[:, 0:16].reshape(-1, 8, 2),
-            normals=r[:, 16:32].reshape(-1, 8, 2),
-            nverts=r[:, 33].astype(jnp.int32),
-            ghosts=r[:, 34:36] > 0.5,
-            radius=r[:, 32])
-
-    rows_a = unpack_rows(g[:nc])
-    rows_b = unpack_rows(g[nc:])
-    type_ab = g[:, 36].astype(jnp.int32)
-    body_ab = jnp.clip(g[:, 37].astype(jnp.int32), 0)
-    ba = body_ab[:nc]
-    bb = body_ab[nc:]
-
-    p_all, q_all = _body_xf(bodies)
-    pq = jnp.concatenate([p_all, q_all], axis=1)        # (N,4)
-    pq_ab = gather_rows(pq, body_ab)                    # ONE gather (2C, 4)
-    kind = nph.contact_kind(type_ab[:nc], type_ab[nc:])
-    manifold = jax.vmap(lambda *a: nph.collide(*a, kinds=kinds))(
-        kind, rows_a, pq_ab[:nc, 0:2], pq_ab[:nc, 2:4],
-        rows_b, pq_ab[nc:, 0:2], pq_ab[nc:, 2:4])
-
-    sensor = (g[:nc, 38] > 0.5) | (g[nc:, 38] > 0.5)
     touching = pair_exists & (manifold.count > 0)
     # sensors don't generate manifolds (b2Contact.cpp:199-205); overlap for
     # sensor touch reporting is approximated by the manifold test for now.
@@ -931,8 +1035,11 @@ def step_batched(states: State, dt, velocity_iterations: int = 8,
         toi_capacity = max(32, states.contacts.capacity // 8)
     n_worlds = states.bodies.body_type.shape[0]
 
+    manifold, sensor, ba, bb = _collide_b(states, kinds)
     pre = jax.vmap(
-        lambda s: _pre_solve(s, dt, warm_starting, max_colors, kinds))(states)
+        lambda s, m, sn, a_, b_: _pre_solve(
+            s, dt, warm_starting, max_colors, m, sn, a_, b_)
+    )(states, manifold, sensor, ba, bb)
     mids = _solve_middle_b(states, pre, dt, velocity_iterations,
                            position_iterations, warm_starting, max_colors)
     new_state, events = _post_solve_b(states, pre, dt, allow_sleep, mids)
