@@ -18,8 +18,9 @@ def _empty(cls, fields2=(), fields3=()):
     for f in cls.__dataclass_fields__:
         if f in ("active", "collide_connected"):
             kw[f] = jnp.zeros(0, bool)
-        elif f in ("body_a", "body_b", "joint1_type", "joint1_index",
-                   "joint2_type", "joint2_index", "limit_state"):
+        elif f in ("body_a", "body_b", "body_c", "body_d", "joint1_type",
+                   "joint1_index", "joint2_type", "joint2_index",
+                   "limit_state"):
             kw[f] = jnp.zeros(0, jnp.int32)
         elif f in ("enable_limit", "enable_motor"):
             kw[f] = jnp.zeros(0, bool)
@@ -33,7 +34,8 @@ def _empty(cls, fields2=(), fields3=()):
 
 
 _VEC2_FIELDS = {
-    "local_anchor_a", "local_anchor_b", "local_axis_a", "target",
+    "local_anchor_a", "local_anchor_b", "local_anchor_c", "local_anchor_d",
+    "local_axis_a", "local_axis_c", "local_axis_d", "target",
     "linear_offset", "ground_anchor_a", "ground_anchor_b", "linear_impulse",
 }
 _VEC3_FIELDS_BY_CLS = {
@@ -85,8 +87,9 @@ def _pack(cls, defs, scalar_defaults):
             kw[f] = jnp.ones(n, bool)
         elif f in ("collide_connected", "enable_limit", "enable_motor"):
             kw[f] = jnp.asarray([bool(d.get(f, False)) for d in defs])
-        elif f in ("body_a", "body_b", "joint1_type", "joint1_index",
-                   "joint2_type", "joint2_index", "limit_state"):
+        elif f in ("body_a", "body_b", "body_c", "body_d", "joint1_type",
+                   "joint1_index", "joint2_type", "joint2_index",
+                   "limit_state"):
             kw[f] = jnp.asarray([int(d.get(f, 0)) for d in defs], jnp.int32)
         elif f in f3:
             kw[f] = jnp.zeros((n, 3), jnp.float32)

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 
 from .. import settings
-from ..math2d import cross_sv, cross_vv, dot, rot_from_angle, rot_vec
+from ..math2d import cross_sv, cross_vv, dot, rot_from_angle, rot_t_vec, rot_vec
 from ..ops import coloring
 
 # limit states (b2Joint.h:77-84)
@@ -1328,6 +1328,201 @@ def _pulley_position(blk, data, st, c, a, mask):
 
 
 # ==========================================================================
+# gear (b2GearJoint.cpp) — 4-body ratio coupling of two revolute/prismatic
+# joints: C = (coordinate1 + ratio * coordinate2) - C0 = 0
+# ==========================================================================
+#
+# The gear writes to four bodies (A = joint1.bodyB, C = joint1.bodyA,
+# B = joint2.bodyB, D = joint2.bodyA) and shares bodies with the very joints
+# it couples, so it cannot join the 2-body coloring. Gear counts are tiny
+# (a handful per scene), so gears are applied *sequentially in slot order*
+# after the colored blocks each iteration — the same Gauss-Seidel semantics
+# as the reference's in-island creation-order walk.
+
+
+class GearData(NamedTuple):
+    active: jax.Array   # (J,)
+    ba: jax.Array
+    bb: jax.Array
+    bc: jax.Array
+    bd: jax.Array
+    m_a: jax.Array
+    m_b: jax.Array
+    m_c: jax.Array
+    m_d: jax.Array
+    i_a: jax.Array
+    i_b: jax.Array
+    i_c: jax.Array
+    i_d: jax.Array
+    lc_a: jax.Array     # (J,2)
+    lc_b: jax.Array
+    lc_c: jax.Array
+    lc_d: jax.Array
+    jv_ac: jax.Array    # (J,2)
+    jv_bd: jax.Array
+    jw_a: jax.Array
+    jw_b: jax.Array
+    jw_c: jax.Array
+    jw_d: jax.Array
+    mass: jax.Array
+
+
+def _gear_jacobian(blk, lc_a, lc_b, lc_c, lc_d, a_a, a_b, a_c, a_d):
+    """Per-slot gear Jacobian terms at the given angles
+    (b2GearJoint::InitVelocityConstraints, b2GearJoint.cpp:169-208)."""
+    rev1 = blk.joint1_type == 0
+    rev2 = blk.joint2_type == 0
+    qa = rot_from_angle(a_a)
+    qb = rot_from_angle(a_b)
+    qc = rot_from_angle(a_c)
+    qd = rot_from_angle(a_d)
+
+    # joint1 (A/C) prismatic branch
+    u1 = rot_vec(qc, blk.local_axis_c)
+    r_c = rot_vec(qc, blk.local_anchor_c - lc_c)
+    r_a = rot_vec(qa, blk.local_anchor_a - lc_a)
+    jw_c_p = cross_vv(r_c, u1)
+    jw_a_p = cross_vv(r_a, u1)
+
+    jv_ac = jnp.where(rev1[:, None], 0.0, u1)
+    jw_a = jnp.where(rev1, 1.0, jw_a_p)
+    jw_c = jnp.where(rev1, 1.0, jw_c_p)
+
+    # joint2 (B/D) prismatic branch
+    u2 = rot_vec(qd, blk.local_axis_d)
+    r_d = rot_vec(qd, blk.local_anchor_d - lc_d)
+    r_b = rot_vec(qb, blk.local_anchor_b - lc_b)
+    jw_d_p = cross_vv(r_d, u2)
+    jw_b_p = cross_vv(r_b, u2)
+
+    jv_bd = jnp.where(rev2[:, None], 0.0, blk.ratio[:, None] * u2)
+    jw_b = jnp.where(rev2, blk.ratio, blk.ratio * jw_b_p)
+    jw_d = jnp.where(rev2, blk.ratio, blk.ratio * jw_d_p)
+    return jv_ac, jv_bd, jw_a, jw_b, jw_c, jw_d, rev1, rev2, r_a, r_b
+
+
+def _gear_init(blk, bodies, awake, dt_ratio, warm):
+    ba = jnp.clip(blk.body_a, 0)
+    bb = jnp.clip(blk.body_b, 0)
+    bc = jnp.clip(blk.body_c, 0)
+    bd = jnp.clip(blk.body_d, 0)
+    dyn = bodies.is_dynamic
+    active = blk.active & ((dyn[ba] & awake[ba]) | (dyn[bb] & awake[bb]))
+
+    lc_a, lc_b = bodies.local_center[ba], bodies.local_center[bb]
+    lc_c, lc_d = bodies.local_center[bc], bodies.local_center[bd]
+    jv_ac, jv_bd, jw_a, jw_b, jw_c, jw_d, rev1, rev2, _, _ = _gear_jacobian(
+        blk, lc_a, lc_b, lc_c, lc_d,
+        bodies.a[ba], bodies.a[bb], bodies.a[bc], bodies.a[bd])
+
+    m_a, m_b = bodies.inv_mass[ba], bodies.inv_mass[bb]
+    m_c, m_d = bodies.inv_mass[bc], bodies.inv_mass[bd]
+    i_a, i_b = bodies.inv_inertia[ba], bodies.inv_inertia[bb]
+    i_c, i_d = bodies.inv_inertia[bc], bodies.inv_inertia[bd]
+
+    mass1 = jnp.where(rev1, i_a + i_c,
+                      m_c + m_a + i_c * jw_c ** 2 + i_a * jw_a ** 2)
+    mass2 = jnp.where(rev2, blk.ratio ** 2 * (i_b + i_d),
+                      blk.ratio ** 2 * (m_d + m_b)
+                      + i_d * jw_d ** 2 + i_b * jw_b ** 2)
+    mass_raw = mass1 + mass2
+    mass = jnp.where(mass_raw > 0.0,
+                     1.0 / jnp.where(mass_raw > 0.0, mass_raw, 1.0), 0.0)
+    # the reference gear does NOT scale its impulse by dtRatio
+    # (b2GearJoint.cpp:210-224)
+    imp = blk.impulse if warm else jnp.zeros_like(blk.impulse)
+    data = GearData(active, ba, bb, bc, bd, m_a, m_b, m_c, m_d,
+                    i_a, i_b, i_c, i_d, lc_a, lc_b, lc_c, lc_d,
+                    jv_ac, jv_bd, jw_a, jw_b, jw_c, jw_d, mass)
+    return data, {"impulse": imp}
+
+
+def _gear_apply_one(d: GearData, j: int, imp, v, w):
+    """Apply one gear's impulse to its four bodies (scalar slot j)."""
+    ba, bb, bc, bd = d.ba[j], d.bb[j], d.bc[j], d.bd[j]
+    v = v.at[ba].add(d.m_a[j] * imp * d.jv_ac[j])
+    w = w.at[ba].add(d.i_a[j] * imp * d.jw_a[j])
+    v = v.at[bb].add(d.m_b[j] * imp * d.jv_bd[j])
+    w = w.at[bb].add(d.i_b[j] * imp * d.jw_b[j])
+    v = v.at[bc].add(-d.m_c[j] * imp * d.jv_ac[j])
+    w = w.at[bc].add(-d.i_c[j] * imp * d.jw_c[j])
+    v = v.at[bd].add(-d.m_d[j] * imp * d.jv_bd[j])
+    w = w.at[bd].add(-d.i_d[j] * imp * d.jw_d[j])
+    return v, w
+
+
+def _gear_warm(data: GearData, st, v, w):
+    for j in range(data.ba.shape[0]):
+        imp = jnp.where(data.active[j], st["impulse"][j], 0.0)
+        v, w = _gear_apply_one(data, j, imp, v, w)
+    return v, w
+
+
+def _gear_velocity(blk, data: GearData, st, v, w):
+    """Sequential slot-order velocity solve
+    (b2GearJoint::SolveVelocityConstraints, b2GearJoint.cpp:236-270)."""
+    impulse = st["impulse"]
+    for j in range(data.ba.shape[0]):
+        ba, bb, bc, bd = data.ba[j], data.bb[j], data.bc[j], data.bd[j]
+        cdot = (jnp.dot(data.jv_ac[j], v[ba] - v[bc])
+                + jnp.dot(data.jv_bd[j], v[bb] - v[bd])
+                + (data.jw_a[j] * w[ba] - data.jw_c[j] * w[bc])
+                + (data.jw_b[j] * w[bb] - data.jw_d[j] * w[bd]))
+        imp = jnp.where(data.active[j], -data.mass[j] * cdot, 0.0)
+        impulse = impulse.at[j].add(imp)
+        v, w = _gear_apply_one(data, j, imp, v, w)
+    return {"impulse": impulse}, v, w
+
+
+def _gear_position(blk, data: GearData, st, c, a):
+    """Sequential slot-order NGS pass
+    (b2GearJoint::SolvePositionConstraints, b2GearJoint.cpp:272-369)."""
+    for j in range(data.ba.shape[0]):
+        ba, bb, bc, bd = data.ba[j], data.bb[j], data.bc[j], data.bd[j]
+        blk_j = jax.tree.map(lambda x: x[j:j + 1], blk)
+        jv_ac, jv_bd, jw_a, jw_b, jw_c, jw_d, rev1, rev2, r_a, r_b = \
+            _gear_jacobian(blk_j,
+                           data.lc_a[j:j + 1], data.lc_b[j:j + 1],
+                           data.lc_c[j:j + 1], data.lc_d[j:j + 1],
+                           a[ba][None], a[bb][None], a[bc][None], a[bd][None])
+        mass1 = jnp.where(rev1, data.i_a[j] + data.i_c[j],
+                          data.m_c[j] + data.m_a[j]
+                          + data.i_c[j] * jw_c ** 2 + data.i_a[j] * jw_a ** 2)
+        mass2 = jnp.where(
+            rev2, blk_j.ratio ** 2 * (data.i_b[j] + data.i_d[j]),
+            blk_j.ratio ** 2 * (data.m_d[j] + data.m_b[j])
+            + data.i_d[j] * jw_d ** 2 + data.i_b[j] * jw_b ** 2)
+        mass = mass1 + mass2
+
+        # coordinates at current positions (b2GearJoint.cpp:300,314,324,338)
+        qc = rot_from_angle(a[bc][None])
+        pc1 = blk_j.local_anchor_c - data.lc_c[j:j + 1]
+        pa1 = rot_t_vec(qc, r_a + (c[ba] - c[bc])[None])
+        coord_a = jnp.where(
+            rev1, a[ba] - a[bc] - blk_j.reference_angle_a,
+            dot(pa1 - pc1, blk_j.local_axis_c))
+        qd = rot_from_angle(a[bd][None])
+        pd2 = blk_j.local_anchor_d - data.lc_d[j:j + 1]
+        pb2 = rot_t_vec(qd, r_b + (c[bb] - c[bd])[None])
+        coord_b = jnp.where(
+            rev2, a[bb] - a[bd] - blk_j.reference_angle_b,
+            dot(pb2 - pd2, blk_j.local_axis_d))
+
+        cc = (coord_a + blk_j.ratio * coord_b) - blk_j.constant
+        imp = jnp.where(data.active[j] & (mass[0] > 0.0),
+                        -cc[0] / jnp.where(mass[0] > 0.0, mass[0], 1.0), 0.0)
+        c = c.at[ba].add(data.m_a[j] * imp * jv_ac[0])
+        a = a.at[ba].add(data.i_a[j] * imp * jw_a[0])
+        c = c.at[bb].add(data.m_b[j] * imp * jv_bd[0])
+        a = a.at[bb].add(data.i_b[j] * imp * jw_b[0])
+        c = c.at[bc].add(-data.m_c[j] * imp * jv_ac[0])
+        a = a.at[bc].add(-data.i_c[j] * imp * jw_c[0])
+        c = c.at[bd].add(-data.m_d[j] * imp * jv_bd[0])
+        a = a.at[bd].add(-data.i_d[j] * imp * jw_d[0])
+    return c, a
+
+
+# ==========================================================================
 # registry / dispatcher
 # ==========================================================================
 
@@ -1348,26 +1543,30 @@ def init_joints(joints, bodies, awake, v, w, dt, dt_ratio, warm_starting,
         blk = getattr(joints, name)
         if blk.body_a.shape[0] > 0:
             blocks.append((name, blk))
-    if joints.gear.body_a.shape[0] > 0:
-        raise NotImplementedError("gear joints not yet solved")
-
-    ba = jnp.concatenate([b.body_a for _, b in blocks])
-    bb = jnp.concatenate([b.body_b for _, b in blocks])
-    act = jnp.concatenate([b.active for _, b in blocks])
-    dyn = bodies.is_dynamic
-    col, _ = coloring.color_constraints(
-        jnp.clip(ba, 0), jnp.clip(bb, 0),
-        dyn[jnp.clip(ba, 0)], dyn[jnp.clip(bb, 0)], act, nb, max_colors)
-    # slice colors back per block
     colors = {}
-    off = 0
-    for name, b in blocks:
-        n = b.body_a.shape[0]
-        colors[name] = col[off:off + n]
-        off += n
+    if blocks:
+        ba = jnp.concatenate([b.body_a for _, b in blocks])
+        bb = jnp.concatenate([b.body_b for _, b in blocks])
+        act = jnp.concatenate([b.active for _, b in blocks])
+        dyn = bodies.is_dynamic
+        col, _ = coloring.color_constraints(
+            jnp.clip(ba, 0), jnp.clip(bb, 0),
+            dyn[jnp.clip(ba, 0)], dyn[jnp.clip(bb, 0)], act, nb, max_colors)
+        # slice colors back per block
+        off = 0
+        for name, b in blocks:
+            n = b.body_a.shape[0]
+            colors[name] = col[off:off + n]
+            off += n
 
     data = {}
     state = {}
+    # gears are 4-body and share bodies with the joints they couple, so
+    # they bypass coloring and solve sequentially (see the gear section)
+    if joints.gear.body_a.shape[0] > 0:
+        d, s = _gear_init(joints.gear, bodies, awake, dt_ratio, warm_starting)
+        data["gear"] = (joints.gear, d)
+        state["gear"] = s
     for name, blk in blocks:
         if name == "revolute":
             d, s = _revolute_init(blk, bodies, awake, colors[name], dt_ratio,
@@ -1423,6 +1622,8 @@ def warm_start_joints(jdata, jstate, v, w):
               "rope": _rope_warm, "motor": _motor_warm,
               "wheel": _wheel_warm, "pulley": _pulley_warm}[name]
         v, w = fn(d, jstate[name], v, w)
+    if "gear" in jdata:
+        v, w = _gear_warm(jdata["gear"][1], jstate["gear"], v, w)
     return v, w
 
 
@@ -1443,7 +1644,14 @@ def solve_joint_velocity(jdata, jstate, v, w, dt, max_colors=settings.MAX_COLORS
             jstate = {**jstate, name: st}
         return jstate, v, w
 
-    return jax.lax.fori_loop(0, max_colors, color_pass, (jstate, v, w))
+    if _block_names(jdata):
+        jstate, v, w = jax.lax.fori_loop(0, max_colors, color_pass,
+                                         (jstate, v, w))
+    if "gear" in jdata:
+        blk, d = jdata["gear"]
+        st, v, w = _gear_velocity(blk, d, jstate["gear"], v, w)
+        jstate = {**jstate, "gear": st}
+    return jstate, v, w
 
 
 def solve_joint_position(jdata, jstate, c, a, max_colors=settings.MAX_COLORS):
@@ -1468,7 +1676,13 @@ def solve_joint_position(jdata, jstate, c, a, max_colors=settings.MAX_COLORS):
             ok_body = ok_i.astype(bool)
         return c, a, ok_body
 
-    return jax.lax.fori_loop(0, max_colors, color_pass, (c, a, ok_body))
+    if _block_names(jdata):
+        c, a, ok_body = jax.lax.fori_loop(0, max_colors, color_pass,
+                                          (c, a, ok_body))
+    if "gear" in jdata:
+        blk, d = jdata["gear"]
+        c, a = _gear_position(blk, d, jstate["gear"], c, a)
+    return c, a, ok_body
 
 
 def store_joint_impulses(joints, jstate):
@@ -1517,4 +1731,7 @@ def store_joint_impulses(joints, jstate):
     if "pulley" in jstate:
         out = dc.replace(out, pulley=dc.replace(
             out.pulley, impulse=jstate["pulley"]["impulse"]))
+    if "gear" in jstate:
+        out = dc.replace(out, gear=dc.replace(
+            out.gear, impulse=jstate["gear"]["impulse"]))
     return out

@@ -192,6 +192,34 @@ def wheel_car():
     return wb.freeze()
 
 
+def gear_train():
+    """Golden scene (golden4.cpp, Testbed Gears.h analog): two circle gears
+    revolute-pinned to the ground, coupled by a gear joint with ratio
+    r2/r1, plus a vertical rack on a prismatic joint coupled to the big
+    gear with ratio -1/r2. Gravity drives the rack; the gear constraints
+    drive the wheels."""
+    wb = WorldBuilder(gravity=(0.0, -10.0))
+    ground = wb.create_body()
+    wb.create_fixture(ground, shapes.Edge((-40.0, 0.0), (40.0, 0.0)))
+    g1 = wb.create_body(body_type=settings.DYNAMIC_BODY,
+                        position=(-3.5, 12.0), angular_velocity=2.0)
+    wb.create_fixture(g1, shapes.Circle(1.0), density=5.0)
+    g2 = wb.create_body(body_type=settings.DYNAMIC_BODY, position=(0.0, 12.0))
+    wb.create_fixture(g2, shapes.Circle(2.0), density=5.0)
+    rack = wb.create_body(body_type=settings.DYNAMIC_BODY, position=(3.0, 12.0))
+    wb.create_fixture(rack, shapes.Polygon.box(0.25, 1.5), density=5.0)
+    rev1 = wb.create_revolute_joint(ground, g1, (-3.5, 12.0))
+    rev2 = wb.create_revolute_joint(ground, g2, (0.0, 12.0))
+    prism = wb.create_prismatic_joint(ground, rack, (3.0, 12.0), (0.0, 1.0),
+                                      enable_limit=True,
+                                      lower_translation=-5.0,
+                                      upper_translation=5.0)
+    wb.create_gear_joint(("revolute", rev1), ("revolute", rev2), ratio=2.0)
+    wb.create_gear_joint(("revolute", rev2), ("prismatic", prism),
+                         ratio=-0.5)
+    return wb.freeze()
+
+
 def pulley_pair():
     """Golden scene: 1.5-ratio pulley between two boxes (golden3.cpp)."""
     wb = WorldBuilder(gravity=(0.0, -10.0))

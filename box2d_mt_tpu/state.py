@@ -380,15 +380,30 @@ class PulleyJoints:
 class GearJoints:
     """b2GearJoint (reference: Joints/b2GearJoint.h:38-126). Couples two
     existing revolute/prismatic joints; joint1/joint2 index into those typed
-    blocks with a type flag (0 = revolute, 1 = prismatic)."""
+    blocks with a type flag (0 = revolute, 1 = prismatic).
+
+    Four bodies: A = joint1.bodyB, C = joint1.bodyA, B = joint2.bodyB,
+    D = joint2.bodyA (b2GearJoint.cpp:61-94). The coupled joints' immutable
+    geometry (anchors, axes, reference angles) is copied in at build time —
+    exactly what the reference constructor does (b2GearJoint.cpp:70-123)."""
     active: jax.Array
     body_a: jax.Array
     body_b: jax.Array
     collide_connected: jax.Array
-    joint1_type: jax.Array      # (J,) i32
+    body_c: jax.Array           # (J,) i32 joint1.bodyA
+    body_d: jax.Array           # (J,) i32 joint2.bodyA
+    joint1_type: jax.Array      # (J,) i32: 0 = revolute, 1 = prismatic
     joint1_index: jax.Array     # (J,) i32
     joint2_type: jax.Array
     joint2_index: jax.Array
+    local_anchor_a: jax.Array   # (J,2) from joint1 (bodyB side)
+    local_anchor_b: jax.Array   # (J,2) from joint2 (bodyB side)
+    local_anchor_c: jax.Array   # (J,2) from joint1 (bodyA side)
+    local_anchor_d: jax.Array   # (J,2) from joint2 (bodyA side)
+    local_axis_c: jax.Array     # (J,2) joint1 prismatic axis (zero if revolute)
+    local_axis_d: jax.Array     # (J,2) joint2 prismatic axis
+    reference_angle_a: jax.Array  # (J,)
+    reference_angle_b: jax.Array  # (J,)
     ratio: jax.Array
     constant: jax.Array
     impulse: jax.Array          # (J,)

@@ -1291,6 +1291,60 @@ class WorldBuilder:
             constant=length_a + ratio * length_b,
             collide_connected=collide_connected)
 
+    def create_gear_joint(self, joint1, joint2, ratio=1.0, *,
+                          collide_connected=False):
+        """b2GearJoint (b2GearJoint.cpp:45-130): couples two revolute/
+        prismatic joints so C = coordinate1 + ratio * coordinate2 stays at
+        its initial value. joint1/joint2 are ("revolute"|"prismatic", index)
+        pairs as returned by create_revolute_joint / create_prismatic_joint.
+        Body roles per the reference ctor: A = joint1.bodyB, C = joint1.bodyA,
+        B = joint2.bodyB, D = joint2.bodyA."""
+        kind1, i1 = joint1
+        kind2, i2 = joint2
+        assert kind1 in ("revolute", "prismatic"), kind1
+        assert kind2 in ("revolute", "prismatic"), kind2
+        j1 = self._joints[kind1][i1]
+        j2 = self._joints[kind2][i2]
+        coord_a, geo1 = self._gear_coordinate(kind1, j1)
+        coord_b, geo2 = self._gear_coordinate(kind2, j2)
+        return self._add_joint(
+            "gear",
+            body_a=j1["body_b"], body_b=j2["body_b"],
+            body_c=j1["body_a"], body_d=j2["body_a"],
+            joint1_type=0 if kind1 == "revolute" else 1, joint1_index=i1,
+            joint2_type=0 if kind2 == "revolute" else 1, joint2_index=i2,
+            local_anchor_a=geo1["anchor_b"], local_anchor_c=geo1["anchor_a"],
+            local_anchor_b=geo2["anchor_b"], local_anchor_d=geo2["anchor_a"],
+            local_axis_c=geo1["axis"], local_axis_d=geo2["axis"],
+            reference_angle_a=geo1["ref"], reference_angle_b=geo2["ref"],
+            ratio=ratio, constant=coord_a + ratio * coord_b,
+            collide_connected=collide_connected)
+
+    def _gear_coordinate(self, kind, j):
+        """Initial gear coordinate of one coupled joint at build time
+        (b2GearJoint.cpp:70-91 and :102-123; body transforms are the
+        build-time defs, exactly like the reference ctor reads m_xf)."""
+        bda = self._bodies[j["body_a"]]
+        bdb = self._bodies[j["body_b"]]
+        geo = dict(anchor_a=j["local_anchor_a"], anchor_b=j["local_anchor_b"],
+                   ref=j["reference_angle"])
+        if kind == "revolute":
+            geo["axis"] = (0.0, 0.0)
+            return bdb.angle - bda.angle - j["reference_angle"], geo
+        geo["axis"] = j["local_axis_a"]
+        # pA in C's frame: MulT(xfC.q, Mul(xfA.q, anchorB) + (xfA.p - xfC.p))
+        s_c, c_c = math.sin(bda.angle), math.cos(bda.angle)
+        s_a, c_a = math.sin(bdb.angle), math.cos(bdb.angle)
+        lax_, lay_ = j["local_anchor_b"]
+        wx = c_a * lax_ - s_a * lay_ + bdb.position[0] - bda.position[0]
+        wy = s_a * lax_ + c_a * lay_ + bdb.position[1] - bda.position[1]
+        px = c_c * wx + s_c * wy
+        py = -s_c * wx + c_c * wy
+        ax_, ay_ = j["local_axis_a"]
+        coord = ((px - j["local_anchor_a"][0]) * ax_
+                 + (py - j["local_anchor_a"][1]) * ay_)
+        return coord, geo
+
     def _to_local(self, body: int, world_point):
         b = self._bodies[body]
         s, c = math.sin(b.angle), math.cos(b.angle)

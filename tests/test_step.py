@@ -159,6 +159,18 @@ def test_wheel_joint():
     assert max(errs) < 5e-2   # driven wheel on ground: contact+joint coupling
 
 
+def test_gear_joint():
+    """Gear train vs reference golden (b2GearJoint.cpp re-derivation):
+    revolute-revolute 2:1 coupling + revolute-prismatic rack. Exact to
+    ~4e-6 through 130 steps of free gearing; the rack's limit impact
+    (~step 137) is a one-step transient that reconverges to 1e-6."""
+    st = scenes.gear_train()
+    errs, _ = _run_vs_golden(st, "gear_240.jsonl", 240, 8, 3, 4)
+    assert max(errs[:130]) < 1e-4      # free gearing: exact
+    assert max(errs) < 0.03            # limit-impact transient
+    assert errs[-1] < 1e-4             # settled: exact
+
+
 def test_pulley_joint():
     st = scenes.pulley_pair()
     errs, _ = _run_vs_golden(st, "pulley_240.jsonl", 240, 8, 3, 3)

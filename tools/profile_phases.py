@@ -1,98 +1,132 @@
 #!/usr/bin/env python
-"""Per-phase timing of the fused batched step on the current backend.
+"""Per-phase timing harness — the TPU analog of the reference's b2Profile
+13-phase breakdown (Box2D/Dynamics/b2TimeStep.h:25-40) and the TestMT CSV
+profiler (Testbed/Framework/TestMT.cpp:146-186).
 
-Times lax.scan rollouts of step_batched variants and differences them to
-attribute ms/step to phases (collide+prep, solve, post, TOI). The
-reference's 13-phase b2Profile (b2TimeStep.h:25-40) is the model; fused XLA
-programs can't be bracketed with timers, so variant differencing is the
-TPU-native equivalent.
+Production runs one fused program; for profiling we compile each phase of
+step_batched as its own program and time it on a warmed-up state so phase
+costs can be attributed. Also reports whole-step time with/without CCD and
+per-velocity-iteration marginal cost.
 
-Usage: python tools/profile_phases.py [worlds] [steps]
+Usage: python tools/profile_phases.py [--worlds 512] [--rows 10] [--json]
 """
 
+import argparse
+import json
+import os
 import sys
 import time
 
-import numpy as np
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
 
 
-def timed_rollout(state, n_steps, fn):
-    def roll(s, dt):
-        def body(ss, _):
-            return fn(ss, dt), None
-        out, _ = jax.lax.scan(body, s, None, length=n_steps)
-        return out
-
-    roll = jax.jit(roll)
-    dt = jnp.float32(1 / 60)
+def timeit(fn, *args, reps=5):
+    out = fn(*args)
+    jax.block_until_ready(out)
     t0 = time.perf_counter()
-    out = roll(state, dt)
-    np.asarray(out.bodies.c)
-    compile_s = time.perf_counter() - t0
-    t0 = time.perf_counter()
-    out = roll(state, dt)
-    np.asarray(out.bodies.c)
-    run_s = time.perf_counter() - t0
-    return compile_s, run_s
+    for _ in range(reps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / reps * 1e3  # ms
 
 
 def main():
-    n_worlds = int(sys.argv[1]) if len(sys.argv) > 1 else 512
-    n_steps = int(sys.argv[2]) if len(sys.argv) > 2 else 30
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--worlds", type=int, default=512)
+    ap.add_argument("--rows", type=int, default=10)
+    ap.add_argument("--warm-steps", type=int, default=30)
+    ap.add_argument("--json", action="store_true")
+    args = ap.parse_args()
 
-    import dataclasses
-
-    from box2d_mt_tpu import world
+    from box2d_mt_tpu import world as W
+    from box2d_mt_tpu import settings
     from box2d_mt_tpu.models import scenes
-    from box2d_mt_tpu.parallel.sharding import replicate_state
+    from box2d_mt_tpu.parallel.sharding import replicate_state, make_rollout
 
-    base = scenes.pyramid(10)
-    state = replicate_state(base, n_worlds)
-    kinds = world.possible_kinds(base)
+    state = scenes.pyramid(args.rows)
+    states = replicate_state(state, args.worlds)
+    kinds = W.possible_kinds(state)
+    dt = jnp.float32(1 / 60)
+    max_colors = settings.MAX_COLORS
 
-    def var(name, **kw):
-        kw.setdefault("kinds", kinds)
+    # warm up the state so the contact table is realistic (touching stacks)
+    warm = make_rollout(args.warm_steps, kinds=kinds)
+    states = warm(states, dt)
+    jax.block_until_ready(states.bodies.c)
 
-        def fn(ss, dt):
-            return world.step_batched(ss, dt, **kw)[0]
-        c, r = timed_rollout(state, n_steps, fn)
-        ms = 1e3 * r / n_steps
-        print(f"{name:32s} compile {c:7.1f}s   {ms:8.2f} ms/step   "
-              f"{n_worlds * n_steps / r:9.0f} worlds*steps/s", flush=True)
-        return ms
+    results = {}
 
-    def pre_only(ss, dt):
-        pre = jax.vmap(lambda s: world._pre_solve(s, dt, True, 16, kinds))(ss)
-        b = dataclasses.replace(
-            ss.bodies, c=ss.bodies.c + 0.0 * pre.bs[..., 0:2])
-        return dataclasses.replace(ss, bodies=b)
+    # ---- whole-step variants
+    full = jax.jit(lambda s: W.step_batched(s, dt, kinds=kinds)[0])
+    no_ccd = jax.jit(lambda s: W.step_batched(s, dt, kinds=kinds,
+                                              continuous=False)[0])
+    results["step_full_ms"] = timeit(full, states)
+    results["step_no_ccd_ms"] = timeit(no_ccd, states)
+    results["toi_attributed_ms"] = (results["step_full_ms"]
+                                    - results["step_no_ccd_ms"])
 
-    print(f"profile: {n_worlds} worlds x pyramid(10), {n_steps} steps, "
-          f"{jax.devices()[0].device_kind}", flush=True)
-    full = var("full (v8 p3 cont)", velocity_iterations=8,
-               position_iterations=3, continuous=True)
-    nocont = var("no-TOI", velocity_iterations=8,
-                 position_iterations=3, continuous=False)
-    v1p1 = var("no-TOI v1 p1", velocity_iterations=1,
-               position_iterations=1, continuous=False)
-    allk = var("full, all kinds", velocity_iterations=8,
-               position_iterations=3, continuous=True,
-               kinds=(0, 1, 2, 3, 4))
-    c, r = timed_rollout(state, n_steps, pre_only)
-    pre_ms = 1e3 * r / n_steps
-    print(f"{'pre_solve only':32s} compile {c:7.1f}s   {pre_ms:8.2f} ms/step",
-          flush=True)
+    one_vi = jax.jit(lambda s: W.step_batched(
+        s, dt, kinds=kinds, continuous=False, velocity_iterations=1)[0])
+    one_pi = jax.jit(lambda s: W.step_batched(
+        s, dt, kinds=kinds, continuous=False, position_iterations=1)[0])
+    results["step_vi1_ms"] = timeit(one_vi, states)
+    results["step_pi1_ms"] = timeit(one_pi, states)
+    results["per_vel_iter_ms"] = (results["step_no_ccd_ms"]
+                                  - results["step_vi1_ms"]) / 7.0
+    results["per_pos_iter_ms"] = (results["step_no_ccd_ms"]
+                                  - results["step_pi1_ms"]) / 2.0
 
-    print()
-    print(f"TOI phase:           {full - nocont:8.2f} ms/step")
-    print(f"solve iters (7v+2p): {nocont - v1p1:8.2f} ms/step")
-    print(f"kind gating saves:   {allk - full:8.2f} ms/step")
-    print(f"pre_solve:           {pre_ms:8.2f} ms/step")
-    print(f"post+1v1p residual:  {v1p1 - pre_ms:8.2f} ms/step")
+    # ---- individual phases (separate programs; boundary transfers add a
+    # little, so the sum slightly exceeds step_full)
+    collide = jax.jit(lambda s: W._collide_b(s, kinds))
+    results["phase_collide_ms"] = timeit(collide, states)
+
+    man, sensor, ba, bb = collide(states)
+    jax.block_until_ready(man.count)
+
+    pre_fn = jax.jit(lambda s, m, sn, a_, b_: jax.vmap(
+        lambda s1, m1, sn1, a1, b1: W._pre_solve(
+            s1, dt, True, max_colors, m1, sn1, a1, b1)
+    )(s, m, sn, a_, b_))
+    results["phase_presolve_ms"] = timeit(pre_fn, states, man, sensor, ba, bb)
+
+    pre = pre_fn(states, man, sensor, ba, bb)
+    jax.block_until_ready(pre.bs)
+
+    mid_fn = jax.jit(lambda s, p: W._solve_middle_b(s, p, dt, 8, 3, True,
+                                                    max_colors))
+    results["phase_solve_middle_ms"] = timeit(mid_fn, states, pre)
+
+    mids = mid_fn(states, pre)
+    jax.block_until_ready(mids[0])
+
+    post_fn = jax.jit(lambda s, p, m: W._post_solve_b(s, p, dt, True, m)[0])
+    results["phase_post_ms"] = timeit(post_fn, states, pre, mids)
+
+    post = post_fn(states, pre, mids)
+    jax.block_until_ready(post.bodies.c)
+
+    toi_fn = jax.jit(lambda s: W._solve_toi_b(
+        s, dt, 8, 8, kinds, max(32, s.contacts.capacity // 8))[0])
+    results["phase_toi_ms"] = timeit(toi_fn, post)
+
+    results["sum_phases_ms"] = sum(
+        v for k, v in results.items() if k.startswith("phase_"))
+    meta = {"worlds": args.worlds, "rows": args.rows,
+            "device": jax.devices()[0].device_kind}
+
+    if args.json:
+        print(json.dumps({**meta, **{k: round(v, 2) for k, v in
+                                     results.items()}}))
+    else:
+        print(f"# phase profile: {meta}")
+        for k, v in results.items():
+            print(f"{k:28s} {v:8.2f}")
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())
