@@ -35,12 +35,21 @@ def tight_aabbs(fx: Fixtures, p, q):
 
     p, q: per-fixture world transforms (gathered for fixture's body).
     Works uniformly for circle (1 vert), edge (2 verts), polygon (n verts).
+    Lane-major internally: fixtures ride the 128-wide vector axis, the tiny
+    vertex/component dims ride sublanes.
     """
-    w = rot_vec(q[:, None, :], fx.verts) + p[:, None, :]     # (F,8,2)
-    valid = (jnp.arange(settings.MAX_POLYGON_VERTICES)[None, :] < fx.nverts[:, None])
-    lo = jnp.min(jnp.where(valid[..., None], w, jnp.inf), axis=1) - fx.radius[:, None]
-    hi = jnp.max(jnp.where(valid[..., None], w, -jnp.inf), axis=1) + fx.radius[:, None]
-    return lo, hi
+    vx = fx.verts[..., 0].T                                  # (8, F)
+    vy = fx.verts[..., 1].T
+    qs, qc = q[:, 0], q[:, 1]
+    wx = qc * vx - qs * vy + p[:, 0]
+    wy = qs * vx + qc * vy + p[:, 1]
+    valid = (jnp.arange(settings.MAX_POLYGON_VERTICES)[:, None]
+             < fx.nverts[None, :])
+    lox = jnp.min(jnp.where(valid, wx, jnp.inf), axis=0) - fx.radius
+    loy = jnp.min(jnp.where(valid, wy, jnp.inf), axis=0) - fx.radius
+    hix = jnp.max(jnp.where(valid, wx, -jnp.inf), axis=0) + fx.radius
+    hiy = jnp.max(jnp.where(valid, wy, -jnp.inf), axis=0) + fx.radius
+    return jnp.stack([lox, loy], axis=-1), jnp.stack([hix, hiy], axis=-1)
 
 
 def synchronize(fx: Fixtures, p0, q0, p1, q1):

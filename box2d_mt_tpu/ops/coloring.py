@@ -31,14 +31,20 @@ BIG = jnp.iinfo(jnp.int32).max
 
 
 def color_constraints(body_a, body_b, conflict_a, conflict_b, active,
-                      n_bodies: int, max_colors: int):
+                      n_bodies: int, max_colors: int, with_rank: bool = False):
     """Color a constraint set.
 
     body_a/body_b: (K,) i32 endpoint body slots.
     conflict_a/b: (K,) bool — whether that endpoint causes conflicts
       (dynamic bodies only).
     active: (K,) bool — constraints to color.
-    Returns (color (K,) i32 with -1 for inactive, overflow count).
+    Returns (color (K,) i32 with -1 for inactive, overflow count); with
+    with_rank=True additionally returns each constraint's rank within its
+    color (slot order — the deterministic b2ContactProxyIds order), which
+    the solver's color compaction consumes directly.
+
+    The round loop exits as soon as every active constraint is colored, so
+    a scene pays for its actual chromatic number, not max_colors.
     """
     k = body_a.shape[0]
     prio = jnp.arange(k, dtype=jnp.int32)
@@ -51,8 +57,14 @@ def color_constraints(body_a, body_b, conflict_a, conflict_b, active,
                             jnp.where(conflict_b, body_b, n_bodies)])
     conflict2 = jnp.concatenate([conflict_a, conflict_b])
 
-    def round_body(c, carry):
-        color, remaining = carry
+    rank = jnp.zeros(k, jnp.int32)
+
+    def cond(carry):
+        c, color, remaining, rank = carry
+        return (c < max_colors - 1) & jnp.any(remaining)
+
+    def round_body(carry):
+        c, color, remaining, rank = carry
         key = jnp.where(remaining, prio, BIG)
         key2 = jnp.where(conflict2, jnp.concatenate([key, key]), BIG)
         slot = scatter_min_scalar(n_bodies + 1, idx2, key2, BIG)
@@ -61,11 +73,18 @@ def color_constraints(body_a, body_b, conflict_a, conflict_b, active,
         win_b = ~conflict_b | (g[k:] == prio)
         winner = remaining & win_a & win_b
         color = jnp.where(winner, c, color)
-        return color, remaining & ~winner
+        if with_rank:
+            rank = jnp.where(winner,
+                             jnp.cumsum(winner.astype(jnp.int32)) - 1, rank)
+        return c + 1, color, remaining & ~winner, rank
 
-    color, remaining = jax.lax.fori_loop(
-        0, max_colors - 1, round_body, (color, remaining))
+    _, color, remaining, rank = jax.lax.while_loop(
+        cond, round_body, (jnp.int32(0), color, remaining, rank))
     # overflow: park leftovers in the last color (Jacobi fallback)
     overflow = jnp.sum(remaining)
     color = jnp.where(remaining, max_colors - 1, color)
+    if with_rank:
+        rank = jnp.where(remaining,
+                         jnp.cumsum(remaining.astype(jnp.int32)) - 1, rank)
+        return color, overflow, rank
     return color, overflow

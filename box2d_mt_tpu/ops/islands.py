@@ -40,7 +40,12 @@ def island_labels(n_bodies: int, edges_a, edges_b, edge_active, body_connectable
 
     e2 = jnp.concatenate([ea, eb])
 
-    def body(_, labels):
+    def cond(carry):
+        r, labels, changed = carry
+        return (r < rounds) & changed
+
+    def body(carry):
+        r, labels, _ = carry
         g = gather_scalar(labels, e2)
         m = jnp.minimum(g[: ea.shape[0]], g[ea.shape[0]:])
         m2 = jnp.where(jnp.concatenate([link, link]),
@@ -50,9 +55,13 @@ def island_labels(n_bodies: int, edges_a, edges_b, edge_active, body_connectable
         # pointer jumping doubles propagation reach per round
         new = gather_scalar(new, new)
         new = gather_scalar(new, new)
-        return new
+        # exit as soon as labels stabilize (propagation converges in
+        # O(log diameter) rounds; `rounds` is only the worst-case bound)
+        return r + 1, new, jnp.any(new != labels)
 
-    return jax.lax.fori_loop(0, rounds, body, labels)
+    _, labels, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), labels, jnp.bool_(True)))
+    return labels
 
 
 BIGI = jnp.iinfo(jnp.int32).max

@@ -23,7 +23,7 @@ import jax.numpy as jnp
 
 from .. import settings
 from ..math2d import cross_sv, cross_vv, dot, normalize, rot_from_angle, rot_vec, transform_point
-from .gather import gather_rows, scatter_add
+from .gather import gather_rows, gather_scalar, scatter_add
 
 EPS = 1.1920929e-7
 
@@ -345,6 +345,68 @@ def velocity_contact_math(cc: ContactConstraints, ni, ti, va, wa, vb, wb, m):
             jnp.stack([vbx, vby], axis=-1), wb)
 
 
+# --------------------------------------------------------------------------
+# color compaction: the velocity/position loops run per color; processing
+# the whole contact table per color costs n_colors * C * N one-hot traffic.
+# Compacting contacts into a padded (max_colors, CK) layout (CK = min(C, N):
+# within a color every contact holds at least one distinct dynamic body, so
+# a color can never exceed the dynamic body count) makes each pass touch CK
+# lanes — the TPU analog of the reference packing islands into fixed-cost
+# solve tasks (b2World.cpp:1332-1378).
+# --------------------------------------------------------------------------
+
+
+def pack_cc_blob(cc: ContactConstraints, ni, ti):
+    """Pack the solve-relevant constraint fields + impulses into one (C, K)
+    f32 blob so the color permutation is a single gather. Body slots and
+    counts ride as f32 (exact for < 2^24)."""
+    f32 = lambda x: x.astype(jnp.float32)[:, None]
+    return jnp.concatenate([
+        f32(cc.active), f32(cc.body_a), f32(cc.body_b), f32(cc.point_count),
+        cc.friction[:, None], cc.tangent_speed[:, None],
+        cc.inv_mass_a[:, None], cc.inv_mass_b[:, None],
+        cc.inv_i_a[:, None], cc.inv_i_b[:, None],
+        cc.normal, cc.r_a.reshape(-1, 4), cc.r_b.reshape(-1, 4),
+        cc.normal_mass, cc.tangent_mass, cc.velocity_bias,
+        cc.k11[:, None], cc.k12[:, None], cc.k22[:, None],
+        cc.nm11[:, None], cc.nm12[:, None], cc.nm22[:, None],
+        cc.local_points.reshape(-1, 4), cc.local_normal, cc.local_point,
+        cc.radius_a[:, None], cc.radius_b[:, None],
+        cc.local_center_a, cc.local_center_b, f32(cc.mtype),
+        ni, ti,
+    ], axis=-1)                                         # (C, 51)
+
+
+CC_BLOB_K = 51
+
+
+def unpack_cc_blob(blob):
+    """Inverse of pack_cc_blob. Returns (cc, ni, ti)."""
+    i32 = lambda x: x.astype(jnp.int32)
+    cc = ContactConstraints(
+        active=blob[..., 0] > 0.5,
+        body_a=i32(blob[..., 1]), body_b=i32(blob[..., 2]),
+        point_count=i32(blob[..., 3]),
+        friction=blob[..., 4], restitution=jnp.zeros_like(blob[..., 4]),
+        tangent_speed=blob[..., 5],
+        inv_mass_a=blob[..., 6], inv_mass_b=blob[..., 7],
+        inv_i_a=blob[..., 8], inv_i_b=blob[..., 9],
+        normal=blob[..., 10:12],
+        r_a=blob[..., 12:16].reshape(blob.shape[:-1] + (2, 2)),
+        r_b=blob[..., 16:20].reshape(blob.shape[:-1] + (2, 2)),
+        normal_mass=blob[..., 20:22], tangent_mass=blob[..., 22:24],
+        velocity_bias=blob[..., 24:26],
+        k11=blob[..., 26], k12=blob[..., 27], k22=blob[..., 28],
+        nm11=blob[..., 29], nm12=blob[..., 30], nm22=blob[..., 31],
+        local_points=blob[..., 32:36].reshape(blob.shape[:-1] + (2, 2)),
+        local_normal=blob[..., 36:38], local_point=blob[..., 38:40],
+        radius_a=blob[..., 40], radius_b=blob[..., 41],
+        local_center_a=blob[..., 42:44], local_center_b=blob[..., 44:46],
+        mtype=i32(blob[..., 46]),
+    )
+    return cc, blob[..., 47:49], blob[..., 49:51]
+
+
 def solve_velocity_color(cc: ContactConstraints, ni, ti, bs, mask):
     """One color pass of SolveVelocityConstraints (b2ContactSolver.cpp:293-603).
     Contacts in `mask` touch disjoint dynamic bodies. `bs` = packed (N,4)
@@ -473,9 +535,10 @@ def position_contact_math(cc: ContactConstraints, ca, aa, cb, ab, m,
 def solve_position_color(cc: ContactConstraints, ps, mask, baumgarte,
                          max_correction):
     """One color pass of SolvePositionConstraints (b2ContactSolver.cpp:676-752).
-    `ps` = packed (N,4) position state [cx, cy, a, 0].
+    `ps` = packed (N,4) position state [cx, cy, a, 0]. mask=None means the
+    lanes are already a compacted color chunk (gate on active only).
     Returns (ps, min_separation_per_contact)."""
-    m = mask & cc.active
+    m = cc.active if mask is None else (mask & cc.active)
     idx2 = jnp.concatenate([cc.body_a, cc.body_b])
     g = gather_rows(ps, idx2)
     n_c = cc.body_a.shape[0]

@@ -97,7 +97,7 @@ def main():
     jax.block_until_ready(pre.bs)
 
     mid_fn = jax.jit(lambda s, p: W._solve_middle_b(s, p, dt, 8, 3, True,
-                                                    max_colors))
+                                                    max_colors)[0])
     results["phase_solve_middle_ms"] = timeit(mid_fn, states, pre)
 
     mids = mid_fn(states, pre)
