@@ -23,13 +23,14 @@ Quick start::
 from . import math2d, settings, shapes, state
 from .state import State, Bodies, Fixtures, Contacts, Joints
 from .world import WorldBuilder, Events, step
-from . import mutate
+from . import mutate, rope
 from .ops.raycast import query_aabb, ray_cast_all, ray_cast_closest
+from .ops.distance import shape_cast
 
 __all__ = [
     "WorldBuilder", "Events", "step", "State", "Bodies", "Fixtures",
     "Contacts", "Joints", "math2d", "settings", "shapes", "state", "mutate",
-    "ray_cast_closest", "ray_cast_all", "query_aabb",
+    "rope", "ray_cast_closest", "ray_cast_all", "query_aabb", "shape_cast",
 ]
 
 __version__ = "0.1.0"

@@ -236,6 +236,94 @@ def gjk_distance(verts_a, count_a, radius_a, pa, qa,
     return point_a, point_b, dist, simplex.ia, simplex.ib, simplex.count
 
 
+def shape_cast(verts_a, count_a, radius_a, pa, qa,
+               verts_b, count_b, radius_b, pb, qb, translation_b):
+    """b2ShapeCast (b2Distance.cpp:608-745): conservative-advancement cast
+    of proxy B translating by `translation_b` against stationary proxy A.
+
+    Returns (hit, point, normal, lambda_, iterations). Branch-free: the
+    reference's early returns (miss, lambda > 1, simplex overlap) become a
+    `fail`/`done` pair carried through a bounded while loop.
+    """
+    ra = jnp.maximum(radius_a, settings.POLYGON_RADIUS)
+    rb = jnp.maximum(radius_b, settings.POLYGON_RADIUS)
+    radius = ra + rb
+    r = translation_b
+
+    ia0 = _support(verts_a, count_a, rot_t_vec(qa, -r))
+    wa0 = rot_vec(qa, verts_a[ia0]) + pa
+    ib0 = _support(verts_b, count_b, rot_t_vec(qb, r))
+    wb0 = rot_vec(qb, verts_b[ib0]) + pb
+    v0 = wa0 - wb0
+
+    sigma = jnp.maximum(settings.POLYGON_RADIUS,
+                        radius - settings.POLYGON_RADIUS)
+    tol = 0.5 * settings.LINEAR_SLOP
+
+    z2 = jnp.zeros(2, jnp.float32)
+    simplex0 = _Simplex(
+        wa=jnp.stack([z2, z2, z2]), wb=jnp.stack([z2, z2, z2]),
+        ia=jnp.zeros(3, jnp.int32), ib=jnp.zeros(3, jnp.int32),
+        bary=jnp.array([1.0, 0.0, 0.0], jnp.float32),
+        count=jnp.int32(0))
+
+    def cond(carry):
+        k, s, v, n, lam, fail, done = carry
+        return (k < 20) & ~fail & ~done \
+            & (jnp.abs(jnp.sqrt(dot(v, v)) - sigma) > tol)
+
+    def body(carry):
+        k, s, v, n, lam, fail, done = carry
+        # support in -v (A) / v (B)
+        ia = _support(verts_a, count_a, rot_t_vec(qa, -v))
+        wa = rot_vec(qa, verts_a[ia]) + pa
+        ib = _support(verts_b, count_b, rot_t_vec(qb, v))
+        wb = rot_vec(qb, verts_b[ib]) + pb
+        p = wa - wb
+
+        vu, _ = normalize(v)
+        vp = dot(vu, p)
+        vr = dot(vu, r)
+        advance = vp - sigma > lam * vr
+        lam_new = (vp - sigma) / jnp.where(vr != 0.0, vr, 1.0)
+        fail = fail | (advance & ((vr <= 0.0) | (lam_new > 1.0)))
+        lam = jnp.where(advance & ~fail, lam_new, lam)
+        n = jnp.where(advance & ~fail, -vu, n)
+        cnt = jnp.where(advance, 0, s.count)
+
+        # reversed simplex vertex: works with B - A, B shifted by lam * r
+        idx = jnp.clip(cnt, 0, 2)
+        s = _Simplex(
+            wa=s.wa.at[idx].set(wb + lam * r),
+            wb=s.wb.at[idx].set(wa),
+            ia=s.ia.at[idx].set(ib), ib=s.ib.at[idx].set(ia),
+            bary=s.bary, count=cnt + 1)
+        s = jax.lax.cond(s.count == 2, _solve2,
+                         lambda x: jax.lax.cond(x.count == 3, _solve3,
+                                                lambda y: y, x), s)
+        fail = fail | (s.count == 3)    # overlap
+
+        # v = GetClosestPoint on the reversed simplex
+        valid = (jnp.arange(3) < s.count)[:, None]
+        bw = jnp.where(valid, s.bary[:, None], 0.0)
+        v = jnp.sum(bw * (s.wb - s.wa), axis=0)
+        return k + 1, s, v, n, lam, fail, done
+
+    k, simplex, v, n, lam, fail, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), simplex0, v0, z2, jnp.float32(0.0),
+                     jnp.bool_(False), jnp.bool_(False)))
+
+    # witness point on A = sum(bary * wb_slot) (slots are reversed)
+    valid = (jnp.arange(3) < jnp.maximum(simplex.count, 1))[:, None]
+    bw = jnp.where(valid, simplex.bary[:, None], 0.0)
+    point_a = jnp.sum(bw * simplex.wb, axis=0)
+    point_a = jnp.where(simplex.count == 0, wa0, point_a)
+    has_v = dot(v, v) > 0.0
+    n = jnp.where(has_v, -normalize(v)[0], n)
+    point = point_a + ra * n
+    return ~fail, point, n, lam, k
+
+
 def test_overlap(verts_a, count_a, radius_a, pa, qa,
                  verts_b, count_b, radius_b, pb, qb):
     """b2TestOverlap (b2Collision.cpp / b2Distance): GJK distance with radii

@@ -66,6 +66,24 @@ def scatter_max_scalar(n, idx, vals, small):
     return jnp.max(jnp.where(oh, vals[:, None], small), axis=0)
 
 
+def gather_cols(table_t, idx):
+    """table_t (K, N) plane-major, idx (M,) -> (K, M).
+
+    Plane-major (component-rows) layout keeps N/M in the 128-wide lane
+    axis; the (N, K)/(M, K) row-major forms would pad tiny K to 128 lanes
+    (up to 64x HBM bloat when carried through loops)."""
+    n = table_t.shape[1]
+    oh = (idx[None, :] == jnp.arange(n)[:, None]).astype(table_t.dtype)
+    return jnp.matmul(table_t, oh, precision=_EXACT)
+
+
+def scatter_add_cols(table_t, idx, delta_t):
+    """table_t (K, N) += delta_t (K, M) at columns idx (M,). Duplicates sum."""
+    n = table_t.shape[1]
+    oh = (idx[:, None] == jnp.arange(n)[None, :]).astype(table_t.dtype)
+    return table_t + jnp.matmul(delta_t, oh, precision=_EXACT)
+
+
 def gather_scalar(arr, idx):
     """arr (N,), idx (M,) -> (M,)."""
     n = arr.shape[0]

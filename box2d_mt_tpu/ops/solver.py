@@ -23,7 +23,8 @@ import jax.numpy as jnp
 
 from .. import settings
 from ..math2d import cross_sv, cross_vv, dot, normalize, rot_from_angle, rot_vec, transform_point
-from .gather import gather_rows, gather_scalar, scatter_add
+from .gather import (gather_cols, gather_rows, gather_scalar,
+                     scatter_add, scatter_add_cols)
 
 EPS = 1.1920929e-7
 
@@ -205,14 +206,12 @@ def init_contact_constraints(contacts, fx, bodies, c_pos, a_pos, v, w,
     )
 
 
-def warm_start(cc: ContactConstraints, ni, ti, bs):
+def warm_start(cc: ContactConstraints, ni, ti, bst):
     """Apply accumulated impulses (b2ContactSolver::WarmStart). Order-free
     scatter-add over all active contacts.
 
-    `bs` is the packed body velocity state (N, 4): [vx, vy, w, 0] — packing
-    lets every solver pass run ONE gather and ONE scatter instead of eight,
-    which is the difference between gather-bound and compute-bound on TPU.
-    """
+    `bst` is the plane-major body velocity state (3, N): rows [vx, vy, w] —
+    one gather/scatter per pass with bodies in the 128-wide lane axis."""
     tangent = jnp.stack([cc.normal[:, 1], -cc.normal[:, 0]], axis=-1)
     pmask = (jnp.arange(2)[None, :] < cc.point_count[:, None]) & cc.active[:, None]
     p_imp = jnp.where(pmask[..., None],
@@ -222,14 +221,14 @@ def warm_start(cc: ContactConstraints, ni, ti, bs):
     ang_a = jnp.sum(jnp.where(pmask, cross_vv(cc.r_a, p_imp), 0.0), axis=1)
     ang_b = jnp.sum(jnp.where(pmask, cross_vv(cc.r_b, p_imp), 0.0), axis=1)
 
-    da = jnp.concatenate([-cc.inv_mass_a[:, None] * p_sum,
-                          (-cc.inv_i_a * ang_a)[:, None],
-                          jnp.zeros_like(ang_a)[:, None]], axis=1)
-    db = jnp.concatenate([cc.inv_mass_b[:, None] * p_sum,
-                          (cc.inv_i_b * ang_b)[:, None],
-                          jnp.zeros_like(ang_b)[:, None]], axis=1)
+    da = jnp.stack([-cc.inv_mass_a * p_sum[:, 0],
+                    -cc.inv_mass_a * p_sum[:, 1],
+                    -cc.inv_i_a * ang_a])               # (3, C)
+    db = jnp.stack([cc.inv_mass_b * p_sum[:, 0],
+                    cc.inv_mass_b * p_sum[:, 1],
+                    cc.inv_i_b * ang_b])
     idx2 = jnp.concatenate([cc.body_a, cc.body_b])
-    return scatter_add(bs, idx2, jnp.concatenate([da, db], axis=0))
+    return scatter_add_cols(bst, idx2, jnp.concatenate([da, db], axis=1))
 
 
 def velocity_contact_math_s(fr, ts, ma, mb, ia_, ib_, nx, ny,
@@ -322,28 +321,6 @@ def velocity_contact_math_s(fr, ts, ma, mb, ia_, ib_, nx, ny,
     return tuple(ni), tuple(ti), vax, vay, wa, vbx, vby, wb
 
 
-def velocity_contact_math(cc: ContactConstraints, ni, ti, va, wa, vb, wb, m):
-    """Vector-form wrapper over velocity_contact_math_s (shared with the
-    Pallas kernel, which calls the scalar core directly)."""
-    nis, tis, vax, vay, wa, vbx, vby, wb = velocity_contact_math_s(
-        cc.friction, cc.tangent_speed,
-        cc.inv_mass_a, cc.inv_mass_b, cc.inv_i_a, cc.inv_i_b,
-        cc.normal[..., 0], cc.normal[..., 1],
-        (cc.r_a[..., 0, 0], cc.r_a[..., 1, 0]),
-        (cc.r_a[..., 0, 1], cc.r_a[..., 1, 1]),
-        (cc.r_b[..., 0, 0], cc.r_b[..., 1, 0]),
-        (cc.r_b[..., 0, 1], cc.r_b[..., 1, 1]),
-        (cc.normal_mass[..., 0], cc.normal_mass[..., 1]),
-        (cc.tangent_mass[..., 0], cc.tangent_mass[..., 1]),
-        (cc.velocity_bias[..., 0], cc.velocity_bias[..., 1]),
-        cc.k11, cc.k12, cc.k22, cc.nm11, cc.nm12, cc.nm22,
-        cc.point_count,
-        (ni[..., 0], ni[..., 1]), (ti[..., 0], ti[..., 1]),
-        va[..., 0], va[..., 1], wa, vb[..., 0], vb[..., 1], wb, m)
-    return (jnp.stack(nis, axis=-1), jnp.stack(tis, axis=-1),
-            jnp.stack([vax, vay], axis=-1), wa,
-            jnp.stack([vbx, vby], axis=-1), wb)
-
 
 # --------------------------------------------------------------------------
 # color compaction: the velocity/position loops run per color; processing
@@ -407,29 +384,44 @@ def unpack_cc_blob(blob):
     return cc, blob[..., 47:49], blob[..., 49:51]
 
 
-def solve_velocity_color(cc: ContactConstraints, ni, ti, bs, mask):
+def solve_velocity_color(cc: ContactConstraints, ni, ti, bst, mask):
     """One color pass of SolveVelocityConstraints (b2ContactSolver.cpp:293-603).
-    Contacts in `mask` touch disjoint dynamic bodies. `bs` = packed (N,4)
-    body velocity state [vx, vy, w, 0]."""
+    Contacts in `mask` touch disjoint dynamic bodies. `bst` = plane-major
+    (3, N) body velocity state [vx; vy; w]."""
     m = mask & cc.active
     idx2 = jnp.concatenate([cc.body_a, cc.body_b])
-    g = gather_rows(bs, idx2)                      # single gather (2C, 4)
+    g = gather_cols(bst, idx2)                     # single gather (3, 2C)
     n_c = cc.body_a.shape[0]
-    va0, wa0 = g[:n_c, 0:2], g[:n_c, 2]
-    vb0, wb0 = g[n_c:, 0:2], g[n_c:, 2]
+    vax0, vay0, wa0 = g[0, :n_c], g[1, :n_c], g[2, :n_c]
+    vbx0, vby0, wb0 = g[0, n_c:], g[1, n_c:], g[2, n_c:]
 
-    ni_new, ti_new, va, wa, vb, wb = velocity_contact_math(
-        cc, ni, ti, va0, wa0, vb0, wb0, m)
+    nis, tis, vax, vay, wa, vbx, vby, wb = velocity_contact_math_s(
+        cc.friction, cc.tangent_speed,
+        cc.inv_mass_a, cc.inv_mass_b, cc.inv_i_a, cc.inv_i_b,
+        cc.normal[..., 0], cc.normal[..., 1],
+        (cc.r_a[..., 0, 0], cc.r_a[..., 1, 0]),
+        (cc.r_a[..., 0, 1], cc.r_a[..., 1, 1]),
+        (cc.r_b[..., 0, 0], cc.r_b[..., 1, 0]),
+        (cc.r_b[..., 0, 1], cc.r_b[..., 1, 1]),
+        (cc.normal_mass[..., 0], cc.normal_mass[..., 1]),
+        (cc.tangent_mass[..., 0], cc.tangent_mass[..., 1]),
+        (cc.velocity_bias[..., 0], cc.velocity_bias[..., 1]),
+        cc.k11, cc.k12, cc.k22, cc.nm11, cc.nm12, cc.nm22,
+        cc.point_count,
+        (ni[..., 0], ni[..., 1]), (ti[..., 0], ti[..., 1]),
+        vax0, vay0, wa0, vbx0, vby0, wb0, m)
 
     # single packed scatter of velocity deltas (disjoint within a color)
-    da = jnp.concatenate([jnp.where(m[:, None], va - va0, 0.0),
-                          jnp.where(m, wa - wa0, 0.0)[:, None],
-                          jnp.zeros((n_c, 1), bs.dtype)], axis=1)
-    db = jnp.concatenate([jnp.where(m[:, None], vb - vb0, 0.0),
-                          jnp.where(m, wb - wb0, 0.0)[:, None],
-                          jnp.zeros((n_c, 1), bs.dtype)], axis=1)
-    bs = scatter_add(bs, idx2, jnp.concatenate([da, db], axis=0))
-    return ni_new, ti_new, bs
+    zero = jnp.float32(0.0)
+    delta = jnp.stack([
+        jnp.concatenate([jnp.where(m, vax - vax0, zero),
+                         jnp.where(m, vbx - vbx0, zero)]),
+        jnp.concatenate([jnp.where(m, vay - vay0, zero),
+                         jnp.where(m, vby - vby0, zero)]),
+        jnp.concatenate([jnp.where(m, wa - wa0, zero),
+                         jnp.where(m, wb - wb0, zero)])])
+    bst = scatter_add_cols(bst, idx2, delta)
+    return (jnp.stack(nis, axis=-1), jnp.stack(tis, axis=-1), bst)
 
 
 def _psm_s(mtype, lpx, lpy, lnx, lny, mpx, mpy,
@@ -513,9 +505,20 @@ def position_contact_math_s(mtype, pc, ma, mb, ia_, ib_, ra, rb,
     return cax, cay, aa, cbx, cby, ab, min_sep
 
 
-def position_contact_math(cc: ContactConstraints, ca, aa, cb, ab, m,
-                          baumgarte, max_correction):
-    """Vector-form wrapper over position_contact_math_s."""
+
+def solve_position_color(cc: ContactConstraints, pst, mask, baumgarte,
+                         max_correction):
+    """One color pass of SolvePositionConstraints (b2ContactSolver.cpp:676-752).
+    `pst` = plane-major (3, N) position state [cx; cy; a]. mask=None means
+    the lanes are already a compacted color chunk (gate on active only).
+    Returns (pst, min_separation_per_contact)."""
+    m = cc.active if mask is None else (mask & cc.active)
+    idx2 = jnp.concatenate([cc.body_a, cc.body_b])
+    g = gather_cols(pst, idx2)
+    n_c = cc.body_a.shape[0]
+    cax0, cay0, aa0 = g[0, :n_c], g[1, :n_c], g[2, :n_c]
+    cbx0, cby0, ab0 = g[0, n_c:], g[1, n_c:], g[2, n_c:]
+
     cax, cay, aa, cbx, cby, ab, min_sep = position_contact_math_s(
         cc.mtype, cc.point_count,
         cc.inv_mass_a, cc.inv_mass_b, cc.inv_i_a, cc.inv_i_b,
@@ -526,33 +529,16 @@ def position_contact_math(cc: ContactConstraints, ca, aa, cb, ab, m,
         cc.local_normal[..., 0], cc.local_normal[..., 1],
         (cc.local_points[..., 0, 0], cc.local_points[..., 1, 0]),
         (cc.local_points[..., 0, 1], cc.local_points[..., 1, 1]),
-        ca[..., 0], ca[..., 1], aa, cb[..., 0], cb[..., 1], ab, m,
+        cax0, cay0, aa0, cbx0, cby0, ab0, m,
         baumgarte, max_correction)
-    return (jnp.stack([cax, cay], axis=-1), aa,
-            jnp.stack([cbx, cby], axis=-1), ab, min_sep)
 
-
-def solve_position_color(cc: ContactConstraints, ps, mask, baumgarte,
-                         max_correction):
-    """One color pass of SolvePositionConstraints (b2ContactSolver.cpp:676-752).
-    `ps` = packed (N,4) position state [cx, cy, a, 0]. mask=None means the
-    lanes are already a compacted color chunk (gate on active only).
-    Returns (ps, min_separation_per_contact)."""
-    m = cc.active if mask is None else (mask & cc.active)
-    idx2 = jnp.concatenate([cc.body_a, cc.body_b])
-    g = gather_rows(ps, idx2)
-    n_c = cc.body_a.shape[0]
-    ca0, aa0 = g[:n_c, 0:2], g[:n_c, 2]
-    cb0, ab0 = g[n_c:, 0:2], g[n_c:, 2]
-
-    ca, aa, cb, ab, min_sep = position_contact_math(
-        cc, ca0, aa0, cb0, ab0, m, baumgarte, max_correction)
-
-    da = jnp.concatenate([jnp.where(m[:, None], ca - ca0, 0.0),
-                          jnp.where(m, aa - aa0, 0.0)[:, None],
-                          jnp.zeros((n_c, 1), ps.dtype)], axis=1)
-    db = jnp.concatenate([jnp.where(m[:, None], cb - cb0, 0.0),
-                          jnp.where(m, ab - ab0, 0.0)[:, None],
-                          jnp.zeros((n_c, 1), ps.dtype)], axis=1)
-    ps = scatter_add(ps, idx2, jnp.concatenate([da, db], axis=0))
-    return ps, jnp.where(m, min_sep, 0.0)
+    zero = jnp.float32(0.0)
+    delta = jnp.stack([
+        jnp.concatenate([jnp.where(m, cax - cax0, zero),
+                         jnp.where(m, cbx - cbx0, zero)]),
+        jnp.concatenate([jnp.where(m, cay - cay0, zero),
+                         jnp.where(m, cby - cby0, zero)]),
+        jnp.concatenate([jnp.where(m, aa - aa0, zero),
+                         jnp.where(m, ab - ab0, zero)])])
+    pst = scatter_add_cols(pst, idx2, delta)
+    return pst, jnp.where(m, min_sep, 0.0)

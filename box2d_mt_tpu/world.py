@@ -341,9 +341,9 @@ def _pre_solve(state: State, dt, warm_starting: bool, max_colors: int,
         contacts, fx, bodies, bodies.c, bodies.a, v, w, cc_active)
 
     dt_ratio = jnp.where(dt > 0, state.inv_dt0 * dt, 0.0)
-    # packed body velocity state [vx, vy, w, 0] — lets each solver pass run
-    # one gather + one scatter (TPU gathers are the step's bottleneck op)
-    bs = jnp.concatenate([v, w[:, None], jnp.zeros((nb, 1), v.dtype)], axis=1)
+    # plane-major body velocity state (3, N) [vx; vy; w] — one gather + one
+    # scatter per solver pass, with bodies riding the 128-wide lane axis
+    bs = jnp.stack([v[:, 0], v[:, 1], w])
     if warm_starting:
         ni_it = dt_ratio * contacts.normal_impulse
         ti_it = dt_ratio * contacts.tangent_impulse
@@ -381,8 +381,9 @@ def _solve_middle_b(states: State, pre: _PreSolve, dt,
     n_worlds = bodies.body_type.shape[0]
     nc = pre.contacts.capacity
     cc, color = pre.cc, pre.color
-    bs = pre.bs
-    v, w = bs[..., 0:2], bs[..., 2]
+    bs = pre.bs                                          # (W, 3, N)
+    v = jnp.stack([bs[:, 0], bs[:, 1]], axis=-1)
+    w = bs[:, 2]
 
     # global dynamic color count (scalar): empty tail colors cost nothing
     n_col = 1 + jnp.max(jnp.where(cc.active & (color >= 0), color, -1))
@@ -405,11 +406,15 @@ def _solve_middle_b(states: State, pre: _PreSolve, dt,
         [blob, jnp.zeros((n_worlds, 1, csolver.CC_BLOB_K), blob.dtype)],
         axis=1)                                          # dump row = nc
     pblob = jnp.take_along_axis(blob, perm[..., None], axis=1)  # (W, P, K)
-    pcc, pni, pti = csolver.unpack_cc_blob(pblob)
+    # impulses evolve across iterations: carry them as flat (W, P) planes —
+    # a (W, P, 2) carry would be padded 64x in HBM (trailing dim -> 128
+    # lanes); the constraint blob itself stays packed and is unpacked per
+    # CK-chunk inside the loop bodies so no (W, P, 2) invariants materialize
+    pni0, pni1 = pblob[..., 47], pblob[..., 48]
+    pti0, pti1 = pblob[..., 49], pblob[..., 50]
 
     def pack(v, w):
-        return jnp.concatenate(
-            [v, w[..., None], jnp.zeros(w.shape + (1,), v.dtype)], axis=-1)
+        return jnp.stack([v[..., 0], v[..., 1], w], axis=-2)
 
     have_joints = joints_present(states.joints)
     if have_joints:
@@ -433,42 +438,49 @@ def _solve_middle_b(states: State, pre: _PreSolve, dt,
     def unchunk(x, part, ci):
         return jax.lax.dynamic_update_slice_in_dim(x, part, ci * ck, axis=1)
 
-    def contact_vel_colors(ni_it, ti_it, bs):
+    def contact_vel_colors(n0, n1, t0, t1, bs):
         def cond(carry):
             return carry[0] < n_col
 
         def body(carry):
-            ci, (ni, ti, b_) = carry
-            ccc = jax.tree.map(lambda x: chunk(x, ci), pcc)
+            ci, (n0, n1, t0, t1, b_) = carry
+            ccc, _, _ = csolver.unpack_cc_blob(chunk(pblob, ci))
+            ni = jnp.stack([chunk(n0, ci), chunk(n1, ci)], axis=-1)
+            ti = jnp.stack([chunk(t0, ci), chunk(t1, ci)], axis=-1)
             nic, tic, b_ = jax.vmap(csolver.solve_velocity_color)(
-                ccc, chunk(ni, ci), chunk(ti, ci), b_, ones_ck)
-            return ci + 1, (unchunk(ni, nic, ci), unchunk(ti, tic, ci), b_)
+                ccc, ni, ti, b_, ones_ck)
+            return ci + 1, (unchunk(n0, nic[..., 0], ci),
+                            unchunk(n1, nic[..., 1], ci),
+                            unchunk(t0, tic[..., 0], ci),
+                            unchunk(t1, tic[..., 1], ci), b_)
 
-        _, out = jax.lax.while_loop(cond, body,
-                                    (jnp.int32(0), (ni_it, ti_it, bs)))
+        _, out = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), (n0, n1, t0, t1, bs)))
         return out
 
     def vel_iter(_, carry):
-        ni_it, ti_it, bs, jstate = carry
+        n0, n1, t0, t1, bs, jstate = carry
         if have_joints:
-            v, w = bs[..., 0:2], bs[..., 2]
+            v = jnp.stack([bs[:, 0], bs[:, 1]], axis=-1)
+            w = bs[:, 2]
             jstate, v, w = jax.vmap(
                 lambda jd, js, vv, ww: solve_joint_velocity(
                     jd, js, vv, ww, dt, max_colors))(jdata, jstate, v, w)
             bs = pack(v, w)
-        ni_it, ti_it, bs = contact_vel_colors(ni_it, ti_it, bs)
-        return ni_it, ti_it, bs, jstate
+        n0, n1, t0, t1, bs = contact_vel_colors(n0, n1, t0, t1, bs)
+        return n0, n1, t0, t1, bs, jstate
 
-    pni, pti, bs, jstate = jax.lax.fori_loop(
-        0, velocity_iterations, vel_iter, (pni, pti, bs, jstate))
-    v, w = bs[..., 0:2], bs[..., 2]
+    pni0, pni1, pti0, pti1, bs, jstate = jax.lax.fori_loop(
+        0, velocity_iterations, vel_iter,
+        (pni0, pni1, pti0, pti1, bs, jstate))
+    v = jnp.stack([bs[:, 0], bs[:, 1]], axis=-1)
+    w = bs[:, 2]
 
     c, a, v, w = jax.vmap(
         lambda c_, a_, vv, ww, m_: integrate.integrate_positions(
             c_, a_, vv, ww, dt, m_))(bodies.c, bodies.a, v, w, pre.solve_mask)
 
-    ps = jnp.concatenate(
-        [c, a[..., None], jnp.zeros(a.shape + (1,), c.dtype)], axis=-1)
+    ps = pack(c, a)                                      # (W, 3, N)
 
     def contact_pos_colors(ps, min_sep):
         def cond(carry):
@@ -476,7 +488,7 @@ def _solve_middle_b(states: State, pre: _PreSolve, dt,
 
         def body(carry):
             ci, (p_, ms_) = carry
-            ccc = jax.tree.map(lambda x: chunk(x, ci), pcc)
+            ccc, _, _ = csolver.unpack_cc_blob(chunk(pblob, ci))
             p_, ms = jax.vmap(
                 lambda cc_, pp_: csolver.solve_position_color(
                     cc_, pp_, None, settings.BAUMGARTE,
@@ -491,23 +503,23 @@ def _solve_middle_b(states: State, pre: _PreSolve, dt,
         ps, min_sep, jok = carry
         ps, min_sep = contact_pos_colors(ps, jnp.zeros_like(min_sep))
         if have_joints:
-            c_, a_ = ps[..., 0:2], ps[..., 2]
+            c_ = jnp.stack([ps[:, 0], ps[:, 1]], axis=-1)
+            a_ = ps[:, 2]
             c_, a_, jok = jax.vmap(
                 lambda jd, js, cx, ax: solve_joint_position(
                     jd, js, cx, ax, max_colors))(jdata, jstate, c_, a_)
-            ps = jnp.concatenate(
-                [c_, a_[..., None], jnp.zeros(a_.shape + (1,), c_.dtype)],
-                axis=-1)
+            ps = pack(c_, a_)
         return ps, min_sep, jok
 
     min_sep0 = jnp.zeros((n_worlds, p_total), jnp.float32)
     jok0 = jnp.ones((n_worlds, nb), bool)
     ps, pmin_sep, jok = jax.lax.fori_loop(
         0, position_iterations, pos_iter, (ps, min_sep0, jok0))
-    c, a = ps[..., 0:2], ps[..., 2]
+    c = jnp.stack([ps[:, 0], ps[:, 1]], axis=-1)
+    a = ps[:, 2]
 
     # ---- un-compact: impulses + min separation back to contact-slot order
-    out_blob = jnp.concatenate([pni, pti, pmin_sep[..., None]], axis=-1)
+    out_blob = jnp.stack([pni0, pni1, pti0, pti1, pmin_sep], axis=-1)
     out_blob = jnp.concatenate(
         [out_blob, jnp.zeros((n_worlds, 1, 5), out_blob.dtype)], axis=1)
     back = jnp.take_along_axis(

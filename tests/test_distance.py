@@ -45,6 +45,43 @@ def test_gjk_distance_matches_reference():
         f"{bad.sum()}/{len(rows)} distance mismatches; worst {np.abs(d-ref).max()}"
 
 
+def test_shape_cast_matches_reference():
+    """b2ShapeCast fixtures (tests/golden/shapecast.jsonl): hit flag,
+    lambda, and (where hit at positive distance) cast normal."""
+    rows = load_jsonl("shapecast.jsonl")
+    va, ca, ra = jax.tree.map(lambda *x: jnp.stack(x),
+                              *[_proxy(r["a"]) for r in rows])
+    vb, cb, rb = jax.tree.map(lambda *x: jnp.stack(x),
+                              *[_proxy(r["b"]) for r in rows])
+    xfa = np.asarray([r["xfa"] for r in rows], np.float32)
+    xfb = np.asarray([r["xfb"] for r in rows], np.float32)
+    tr = jnp.asarray([r["tr"] for r in rows], dtype=jnp.float32)
+    pa = jnp.asarray(xfa[:, 0:2])
+    qa = math2d.rot_from_angle(jnp.asarray(xfa[:, 2]))
+    pb = jnp.asarray(xfb[:, 0:2])
+    qb = math2d.rot_from_angle(jnp.asarray(xfb[:, 2]))
+
+    fn = jax.jit(jax.vmap(dst.shape_cast))
+    hit, point, normal, lam, _ = fn(va, ca, ra, pa, qa, vb, cb, rb, pb, qb, tr)
+    hit = np.asarray(hit)
+    lam = np.asarray(lam)
+    normal = np.asarray(normal)
+    ref_hit = np.asarray([r["hit"] for r in rows]) > 0
+    ref_lam = np.asarray([r["lambda"] for r in rows])
+    ref_n = np.asarray([r["normal"] for r in rows])
+
+    hit_bad = hit != ref_hit
+    both = hit & ref_hit & (ref_lam > 0)
+    lam_bad = hit & ref_hit & (np.abs(lam - ref_lam) > 5e-3)
+    n_bad = both & (np.abs(normal - ref_n).max(axis=1) > 1e-2)
+    assert hit_bad.sum() <= max(2, len(rows) // 50), \
+        f"{hit_bad.sum()}/{len(rows)} hit mismatches"
+    assert lam_bad.sum() <= max(2, int(both.sum()) // 50), \
+        f"{lam_bad.sum()} lambda mismatches; worst {np.abs(lam-ref_lam)[hit & ref_hit].max()}"
+    assert n_bad.sum() <= max(2, int(both.sum()) // 50), \
+        f"{n_bad.sum()} normal mismatches"
+
+
 def test_toi_matches_reference():
     rows = _cases()
     va, ca, ra = jax.tree.map(lambda *x: jnp.stack(x),
