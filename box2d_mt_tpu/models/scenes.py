@@ -192,6 +192,46 @@ def wheel_car():
     return wb.freeze()
 
 
+def many_bodies(n=10000, spacing=2.2):
+    """Testbed/Tests/ManyBodies.h analog: n small boxes in a sparse falling
+    grid over a wide ground — the broad-phase/scaling stress load (the
+    reference runs up to 50k bodies, ManyBodies.h:335-427)."""
+    import math as _m
+    wb = WorldBuilder(gravity=(0.0, -10.0))
+    cols = int(_m.ceil(_m.sqrt(n)))
+    half = 0.5 * cols * spacing + 10.0
+    ground = wb.create_body()
+    wb.create_fixture(ground, shapes.Edge((-half, 0.0), (half, 0.0)))
+    box = shapes.Polygon.box(0.5, 0.5)
+    for i in range(n):
+        r, c = divmod(i, cols)
+        x = (c - 0.5 * cols) * spacing
+        y = 2.0 + r * spacing
+        b = wb.create_body(body_type=settings.DYNAMIC_BODY, position=(x, y))
+        wb.create_fixture(b, box, density=1.0, friction=0.3)
+    return wb.freeze()
+
+
+def multithread_demo(n_boxes=2800):
+    """Testbed/Tests/MultithreadDemo.h analog: a container full of boxes
+    (the reference's headline MT workload, MultithreadDemo.h:26)."""
+    wb = WorldBuilder(gravity=(0.0, -10.0))
+    ground = wb.create_body()
+    # container: floor + two walls
+    wb.create_fixture(ground, shapes.Edge((-52.0, 0.0), (52.0, 0.0)))
+    wb.create_fixture(ground, shapes.Edge((-52.0, 0.0), (-52.0, 120.0)))
+    wb.create_fixture(ground, shapes.Edge((52.0, 0.0), (52.0, 120.0)))
+    box = shapes.Polygon.box(0.5, 0.5)
+    cols = 100
+    for i in range(n_boxes):
+        r, c = divmod(i, cols)
+        x = (c - 0.5 * cols) * 1.02 + 0.255 * (r % 2)
+        y = 1.02 + r * 1.02
+        b = wb.create_body(body_type=settings.DYNAMIC_BODY, position=(x, y))
+        wb.create_fixture(b, box, density=1.0, friction=0.3)
+    return wb.freeze()
+
+
 def gear_train():
     """Golden scene (golden4.cpp, Testbed Gears.h analog): two circle gears
     revolute-pinned to the ground, coupled by a gear joint with ratio

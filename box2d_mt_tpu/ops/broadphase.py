@@ -190,6 +190,190 @@ def find_pairs_allpairs(state: State, capacity: int):
     return f_a, f_b, overflow
 
 
+def _pair_allowed_idx(state: State, fi, fj):
+    """Pair admissibility for (M,) candidate index arrays — the same rules
+    the dense all-pairs masks apply (same body, joint collideConnected,
+    category/mask/group filters, ≥1 dynamic, enabled, registered kind)."""
+    from .narrowphase import contact_kind, needs_swap
+
+    fx = state.fixtures
+    bd = state.bodies
+    nf = fx.capacity
+    fic = jnp.clip(fi, 0, nf - 1)
+    fjc = jnp.clip(fj, 0, nf - 1)
+    bi = fx.body[fic]
+    bj = fx.body[fjc]
+    bic = jnp.clip(bi, 0)
+    bjc = jnp.clip(bj, 0)
+    ok = (fi >= 0) & (fj >= 0) & (bi >= 0) & (bj >= 0) & (bi != bj)
+    ok &= bd.is_dynamic[bic] | bd.is_dynamic[bjc]
+    ok &= bd.enabled[bic] & bd.enabled[bjc]
+
+    jkeys = _forbidden_joint_keys(state, nf)
+    bkey = (jnp.minimum(bi, bj).astype(jnp.int32) * nf
+            + jnp.maximum(bi, bj))
+    idx = jnp.searchsorted(jkeys, bkey)
+    ok &= jkeys[jnp.clip(idx, 0, jkeys.shape[0] - 1)] != bkey
+
+    ok &= should_collide_filters(
+        fx.filter_group[fic], fx.filter_group[fjc],
+        fx.filter_category[fic], fx.filter_category[fjc],
+        fx.filter_mask[fic], fx.filter_mask[fjc])
+
+    ti = fx.shape_type[fic]
+    tj = fx.shape_type[fjc]
+    swap = needs_swap(ti, tj)
+    ok &= contact_kind(jnp.where(swap, tj, ti),
+                       jnp.where(swap, ti, tj)) != 5  # KIND_INVALID
+    return ok
+
+
+def find_pairs_grid(state: State, capacity: int, cell_slots: int = 16,
+                    large_cap: int = 16):
+    """Uniform-grid-hash pair finder for large fixture counts — the TPU
+    analog of b2DynamicTreeOfTrees' sparse grid of sub-trees
+    (Box2D/MT/b2DynamicTreeOfTrees.h:30-46). O(F · cell_slots) instead of
+    the dense O(F²) mask; identical output contract to find_pairs_allpairs
+    (canonical sorted-key order, role-ordered, overflow count).
+
+    Mechanics: cell size = 1.5x the median fat-AABB extent (a dense pile
+    of median-size boxes then puts ~9 fixtures in a cell, under the
+    16-slot default); fixtures larger
+    than a cell (grounds, walls — at most `large_cap`) pair densely against
+    everyone; each small fixture covers ≤ 2x2 cells, cells hash into
+    next_pow2(2F) buckets holding ≤ cell_slots fixtures. A candidate pair
+    is emitted exactly once: by its lower-indexed fixture, from the cell
+    containing the intersection's min corner. Dropped bucket/large
+    overflows are counted.
+    """
+    fx = state.fixtures
+    nf = fx.capacity
+    large_cap = min(large_cap, nf)
+    lo, hi = fx.aabb_lo, fx.aabb_hi
+    exists = fx.exists
+
+    ext = jnp.where(exists[:, None], hi - lo, 0.0)
+    extent = jnp.maximum(ext[:, 0], ext[:, 1])
+    n_ex = jnp.maximum(jnp.sum(exists), 1)
+    sorted_ext = jnp.sort(jnp.where(exists, extent, jnp.inf))
+    median = sorted_ext[jnp.clip(n_ex // 2, 0, nf - 1)]
+    cell = jnp.maximum(1.5 * jnp.where(jnp.isfinite(median), median, 1.0),
+                       10.0 * settings.LINEAR_SLOP)
+
+    is_large = exists & (extent > cell)
+    is_small = exists & ~is_large
+
+    # ---- bucket table for small fixtures (each covers <= 2x2 cells)
+    n_buckets = max(16, 1 << (2 * nf - 1).bit_length())
+    c0 = jnp.floor(lo / cell).astype(jnp.int32)          # (F,2)
+    c1 = jnp.floor(hi / cell).astype(jnp.int32)
+    # 4 covered cells per fixture (duplicates when the AABB fits one cell)
+    cxs = jnp.stack([c0[:, 0], c1[:, 0], c0[:, 0], c1[:, 0]], axis=1)
+    cys = jnp.stack([c0[:, 1], c0[:, 1], c1[:, 1], c1[:, 1]], axis=1)
+    dup = jnp.stack([
+        jnp.zeros(nf, bool),
+        c1[:, 0] == c0[:, 0],
+        c1[:, 1] == c0[:, 1],
+        (c1[:, 0] == c0[:, 0]) | (c1[:, 1] == c0[:, 1])], axis=1)
+
+    def bucket_of(cx, cy):
+        # 0x8da6b343 / 0xd8163841 spatial-hash primes, wrapped to int32
+        h = (cx * jnp.int32(-1918851261)) ^ (cy * jnp.int32(-669632447))
+        return h & (n_buckets - 1)
+
+    bkt = bucket_of(cxs, cys)                            # (F,4)
+    entry_on = is_small[:, None] & ~dup                  # (F,4)
+    ekey = jnp.where(entry_on, bkt, n_buckets).reshape(-1)   # (4F,)
+    eorder = jnp.argsort(ekey, stable=True)
+    sk = ekey[eorder]
+    starts = jnp.searchsorted(sk, jnp.arange(n_buckets, dtype=sk.dtype))
+    rank = (jnp.arange(4 * nf, dtype=jnp.int32)
+            - starts[jnp.clip(sk, 0, n_buckets - 1)])
+    fill_ok = (sk < n_buckets) & (rank < cell_slots)
+    bucket_drop = jnp.sum((sk < n_buckets) & (rank >= cell_slots))
+    slot = jnp.where(fill_ok, sk * cell_slots + rank,
+                     n_buckets * cell_slots)
+    table = jnp.full(n_buckets * cell_slots + 1, nf, jnp.int32)
+    table = table.at[slot].set(
+        jnp.where(fill_ok, eorder // 4, nf))[:-1]
+    table = table.reshape(n_buckets, cell_slots)
+
+    # ---- grid candidates: each small fixture queries its covered cells
+    occ = table[bkt]                                     # (F,4,K)
+    f_self = jnp.arange(nf, dtype=jnp.int32)
+    g = occ
+    cand_on = (g < nf) & is_small[:, None, None] & ~dup[:, :, None]
+    gc = jnp.clip(g, 0, nf - 1)
+    # overlap + canonical order + emit-once cell rule
+    ov = jnp.all((lo[:, None, None] <= hi[gc]) & (lo[gc] <= hi[:, None, None]),
+                 axis=-1)
+    icell = jnp.floor(
+        jnp.maximum(lo[:, None, None], lo[gc]) / cell).astype(jnp.int32)
+    own_cell = (icell[..., 0] == cxs[:, :, None]) & \
+               (icell[..., 1] == cys[:, :, None])
+    cand_on &= ov & (f_self[:, None, None] < g) & own_cell
+    grid_i = jnp.broadcast_to(f_self[:, None, None], g.shape).reshape(-1)
+    grid_j = gc.reshape(-1)
+    grid_ok = cand_on.reshape(-1)
+
+    # ---- large fixtures pair densely against everyone
+    neg = jnp.where(is_large, extent, -jnp.inf)
+    _, lidx = jax.lax.top_k(neg, large_cap)
+    lvalid = is_large[lidx]
+    large_drop = jnp.maximum(jnp.sum(is_large) - large_cap, 0)
+    li = jnp.broadcast_to(lidx[:, None], (large_cap, nf))
+    lj = jnp.broadcast_to(f_self[None, :], (large_cap, nf))
+    lov = jnp.all((lo[lidx][:, None, :] <= hi[None]) &
+                  (lo[None] <= hi[lidx][:, None, :]), axis=-1)
+    # each (large, X) pair appears exactly once in the dense rows, except
+    # large-large pairs which appear in both rows — keep the li < lj one
+    ll_once = jnp.where(is_large[None, :], li < lj, True)
+    l_ok = (lvalid[:, None] & exists[None, :] & lov & (li != lj)
+            & ll_once).reshape(-1)
+    l_i = jnp.minimum(li, lj).reshape(-1)
+    l_j = jnp.maximum(li, lj).reshape(-1)
+
+    cand_i = jnp.concatenate([grid_i, l_i])
+    cand_j = jnp.concatenate([grid_j, l_j])
+    cand_ok = jnp.concatenate([grid_ok, l_ok])
+    cand_ok &= _pair_allowed_idx(state, jnp.where(cand_ok, cand_i, -1),
+                                 jnp.where(cand_ok, cand_j, -1))
+
+    # ---- canonical sorted-key extraction (same contract as all-pairs);
+    # uint32 keys support up to 65535 fixture slots
+    big = jnp.uint32(0xFFFFFFFF)
+    key = jnp.where(cand_ok,
+                    cand_i.astype(jnp.uint32) * jnp.uint32(nf)
+                    + cand_j.astype(jnp.uint32), big)
+    skey = jnp.sort(key)
+    n_found = jnp.sum(cand_ok)
+    pick = skey[:capacity]
+    valid = pick < big
+    i_sel = jnp.where(valid, pick // nf, 0).astype(jnp.int32)
+    j_sel = jnp.where(valid, pick % nf, 0).astype(jnp.int32)
+
+    from .narrowphase import needs_swap
+    swap_sel = needs_swap(fx.shape_type[i_sel], fx.shape_type[j_sel])
+    f_a = jnp.where(valid, jnp.where(swap_sel, j_sel, i_sel), -1)
+    f_b = jnp.where(valid, jnp.where(swap_sel, i_sel, j_sel), -1)
+    overflow = (jnp.maximum(n_found - capacity, 0) + bucket_drop
+                + large_drop)
+    return f_a, f_b, overflow
+
+
+# all-pairs wins below this fixture count (dense mask is one fused op);
+# the grid path takes over where O(F^2) would blow up
+GRID_THRESHOLD = 1024
+
+
+def find_pairs(state: State, capacity: int):
+    """Strategy dispatch: dense all-pairs for small worlds, grid hash for
+    large ones. Both produce identical canonical pair tables."""
+    if state.fixtures.capacity <= GRID_THRESHOLD:
+        return find_pairs_allpairs(state, capacity)
+    return find_pairs_grid(state, capacity)
+
+
 def carry_over_contacts(old, f_a, f_b, nf: int):
     """Transfer manifold + impulses from the old contact table to the new
     pair list by canonical key matching (replaces slot-stable pointers;

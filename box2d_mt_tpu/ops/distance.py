@@ -326,12 +326,12 @@ def shape_cast(verts_a, count_a, radius_a, pa, qa,
 
 def test_overlap(verts_a, count_a, radius_a, pa, qa,
                  verts_b, count_b, radius_b, pb, qb):
-    """b2TestOverlap (b2Collision.cpp / b2Distance): GJK distance with radii
-    < 10 * slop."""
+    """b2TestOverlap (b2Collision.cpp:233-252): GJK distance with radii
+    < 10 * b2_epsilon — the sensor-touch test (b2Contact.cpp:199-205)."""
     _, _, d, _, _, _ = gjk_distance(verts_a, count_a, radius_a, pa, qa,
                                     verts_b, count_b, radius_b, pb, qb,
                                     use_radii=True)
-    return d < 10.0 * settings.LINEAR_SLOP
+    return d < 10.0 * EPS
 
 
 # --------------------------------------------------------------------------

@@ -45,7 +45,9 @@ from .ops import solver as csolver
 
 class Events(NamedTuple):
     """Per-step outputs replacing b2ContactListener callbacks
-    (b2WorldCallbacks.h:96-173)."""
+    (b2WorldCallbacks.h:96-173). The impulse arrays are the PostSolve
+    analog (b2WorldCallbacks.h:120-129): applied normal/tangent impulses
+    per contact point for this step, indexed like f_a/f_b."""
     begin_touch: jax.Array    # (C,) bool — BeginContact analog
     end_touch: jax.Array      # (C,) bool — EndContact analog
     f_a: jax.Array            # (C,) i32 pair fixtures the masks refer to
@@ -53,6 +55,27 @@ class Events(NamedTuple):
     pair_overflow: jax.Array  # () i32 — pairs dropped by capacity
     color_overflow: jax.Array  # () i32 — constraints past MAX_COLORS-1
     toi_overflow: jax.Array   # () i32 — TOI candidates past toi_capacity
+    normal_impulse: jax.Array   # (C,2) — PostSolve impulses
+    tangent_impulse: jax.Array  # (C,2)
+    touching: jax.Array         # (C,) bool
+
+
+class PreSolveView(NamedTuple):
+    """What a `pre_solve_fn` sees, per world — the TPU analog of
+    b2ContactListener::PreSolve(contact, oldManifold)
+    (b2WorldCallbacks.h:110-118): the fresh manifold for each contact slot
+    plus the previous step's manifold. Return a (C,) bool mask; False
+    disables that contact for this step's solve (SetEnabled(false) — the
+    one-sided-platform idiom, Testbed/Tests/OneSidedPlatform.h)."""
+    f_a: jax.Array            # (C,) i32
+    f_b: jax.Array
+    body_a: jax.Array         # (C,) i32
+    body_b: jax.Array
+    touching: jax.Array       # (C,) bool (this step)
+    manifold: object          # ops.narrowphase.Manifold, (C,...) leaves
+    old_mtype: jax.Array      # previous manifold (warm-start source)
+    old_local_normal: jax.Array
+    old_count: jax.Array
 
 
 # --------------------------------------------------------------------------
@@ -151,6 +174,52 @@ def _collide_b(states: State, kinds):
     pq = jnp.concatenate([p_all, q_all], axis=-1)       # (W,N,4)
     pq_ab = vgather(pq, body_ab)                        # (W,2C,4)
 
+    # ---- sensor touch via GJK overlap (b2Contact::Update sensor branch,
+    # b2Contact.cpp:193-202; b2TestOverlap, b2Collision.cpp:233-252).
+    # Compacted to the actual sensor-pair count and gated on any existing —
+    # sensor-free scenes pay one jnp.any.
+    smask = sensor & pair_exists
+    sck = min(32, nc)
+
+    def sensor_overlap(_):
+        sorder = jnp.argsort(jnp.where(smask, 0, 1).astype(jnp.int32),
+                             axis=1, stable=True)
+        scnt = jnp.sum(smask, axis=1)
+        smax = jnp.max(scnt)
+
+        def s_cond(carry):
+            return carry[1] * sck < smax
+
+        def s_body(carry):
+            touch, c = carry
+            idx = jax.lax.dynamic_slice(
+                sorder, (jnp.int32(0), c * sck), (n_worlds, sck))
+            valid = (c * sck + jnp.arange(sck))[None, :] < scnt[:, None]
+            gl = vgather(g, jnp.concatenate([idx, idx + nc], axis=1))
+            pql = vgather(pq_ab.reshape(n_worlds, 2 * nc, 4),
+                          jnp.concatenate([idx, idx + nc], axis=1))
+            flatk = lambda x: x.reshape((n_worlds * sck,) + x.shape[2:])
+            ra = unpack_rows(flatk(gl[:, :sck]))
+            rb = unpack_rows(flatk(gl[:, sck:]))
+            ov = jax.vmap(distance.test_overlap)(
+                ra.verts, ra.nverts, ra.radius,
+                flatk(pql[:, :sck, 0:2]), flatk(pql[:, :sck, 2:4]),
+                rb.verts, rb.nverts, rb.radius,
+                flatk(pql[:, sck:, 0:2]), flatk(pql[:, sck:, 2:4]))
+            ov = ov.reshape(n_worlds, sck) & valid
+            oh = ((idx[:, :, None] == jnp.arange(nc)[None, None, :])
+                  & ov[:, :, None])
+            return touch | jnp.any(oh, axis=1), c + 1
+
+        touch, _ = jax.lax.while_loop(
+            s_cond, s_body,
+            (jnp.zeros((n_worlds, nc), bool), jnp.int32(0)))
+        return touch
+
+    sensor_touch = jax.lax.cond(
+        jnp.any(smask), sensor_overlap,
+        lambda _: jnp.zeros((n_worlds, nc), bool), 0)
+
     # ---- dense pass for the dominant kind. Kinds with a lane-major core
     # run with pair lanes in the 128-wide vector axis (the vmapped rows
     # form puts the tiny 2-vector/8-vertex dims there instead and wastes
@@ -184,7 +253,7 @@ def _collide_b(states: State, kinds):
     manifold = man_p._replace(
         count=jnp.where(is_primary & pair_exists, man_p.count, 0))
     if len(kinds) == 1:
-        return manifold, sensor, ba, bb
+        return manifold, sensor, sensor_touch, ba, bb
 
     # ---- chunked compacted passes for the remaining kinds
     # manifold accumulator blob:
@@ -258,14 +327,16 @@ def _collide_b(states: State, kinds):
         points=jnp.where(w2[..., None, None], sec.points, manifold.points),
         ids=jnp.where(w2[..., None], sec.ids, manifold.ids),
         count=jnp.where(w2, sec.count, manifold.count))
-    return manifold, sensor, ba, bb
+    return manifold, sensor, sensor_touch, ba, bb
 
 
 def _pre_solve(state: State, dt, warm_starting: bool, max_colors: int,
-               manifold: nph.Manifold, sensor, ba, bb) -> _PreSolve:
+               manifold: nph.Manifold, sensor, sensor_touch, enabled,
+               ba, bb) -> _PreSolve:
     """Post-collide prep: touch transitions + warm-start id matching +
     island/coloring/constraint init (b2Contact::Update + the head of
-    b2World::Solve). The manifolds themselves come from _collide_b."""
+    b2World::Solve). The manifolds themselves come from _collide_b;
+    `enabled` is the PreSolve contact-disable mask (SetEnabled semantics)."""
     bodies = state.bodies
     fx = state.fixtures
     contacts = state.contacts
@@ -274,9 +345,10 @@ def _pre_solve(state: State, dt, warm_starting: bool, max_colors: int,
     nc = contacts.capacity
     pair_exists = contacts.f_a >= 0
 
-    touching = pair_exists & (manifold.count > 0)
-    # sensors don't generate manifolds (b2Contact.cpp:199-205); overlap for
-    # sensor touch reporting is approximated by the manifold test for now.
+    # sensors report touch via GJK overlap and generate no manifold
+    # (b2Contact.cpp:193-205)
+    touching = pair_exists & jnp.where(sensor, sensor_touch,
+                                       manifold.count > 0)
     m_count = jnp.where(sensor, 0, manifold.count)
 
     # warm-start impulse matching by feature id (b2Contact.cpp:210-230)
@@ -313,7 +385,7 @@ def _pre_solve(state: State, dt, warm_starting: bool, max_colors: int,
     non_static = bodies.exists & ~bodies.is_static & bodies.enabled
     dyn = bodies.is_dynamic & bodies.enabled
 
-    solvable_contact = touching & ~sensor & pair_exists
+    solvable_contact = touching & ~sensor & pair_exists & enabled
     jb_a, jb_b, j_active = build_joint_arrays(state.joints)
     if jb_a is not None:
         edges_a = jnp.concatenate([ba, jb_a])
@@ -606,7 +678,7 @@ def _post_solve_b(states: State, pre: _PreSolve, dt, allow_sleep, mids
 
     def do_refresh(sm):
         f_a, f_b, overflow = jax.vmap(
-            lambda s: broadphase.find_pairs_allpairs(s, nc))(sm)
+            lambda s: broadphase.find_pairs(s, nc))(sm)
         contacts = jax.vmap(
             lambda c_, fa, fb: broadphase.carry_over_contacts(c_, fa, fb, nf)
         )(sm.contacts, f_a, f_b)
@@ -628,14 +700,17 @@ def _post_solve_b(states: State, pre: _PreSolve, dt, allow_sleep, mids
         f_a=states.contacts.f_a, f_b=states.contacts.f_b,
         pair_overflow=pair_overflow,
         color_overflow=pre.color_overflow.astype(jnp.int32),
-        toi_overflow=jnp.zeros((n_worlds,), jnp.int32))
+        toi_overflow=jnp.zeros((n_worlds,), jnp.int32),
+        normal_impulse=mids[0], tangent_impulse=mids[1],
+        touching=pre.contacts.touching)
     return new_state, events
 
 
 
 
 def _solve_toi_b(states: State, dt, velocity_iterations: int,
-                 toi_rounds: int, kinds, toi_capacity: int):
+                 toi_rounds: int, kinds, toi_capacity: int,
+                 enabled=None):
     """Continuous physics over batched worlds
     (b2World::SolveTOI, b2World.cpp:1026-1093).
 
@@ -721,8 +796,11 @@ def _solve_toi_b(states: State, dt, velocity_iterations: int,
     both_dyn = (type_a == settings.DYNAMIC_BODY) & \
                (type_b == settings.DYNAMIC_BODY)
 
-    # b2Contact::IsToiCandidate + awake gate (b2World.cpp:1534-1541)
+    # b2Contact::IsToiCandidate + awake gate (b2World.cpp:1534-1541);
+    # PreSolve-disabled contacts skip the TOI sub-step (b2World.cpp:871-874)
     cand = pair_exists & ~sensor & (bullet | (~both_dyn & ~thick))
+    if enabled is not None:
+        cand &= enabled
     active0 = cand & awake_pair                     # (W,C)
 
     # ---- compaction: actives first, canonical slot order within each group
@@ -816,7 +894,7 @@ def _solve_toi_b(states: State, dt, velocity_iterations: int,
     lane_tc0 = take(contacts.toi_count, sel).astype(jnp.float32)
 
     def round_body(carry):
-        bp, lane_tc, k, _ = carry
+        bp, lane_tc, lane_touch, k, _ = carry
         bgd = vgather(bp, kbab)                     # (W,2K,11)
         cA, aA = bgd[:, :kcap, 0:2], bgd[:, :kcap, 2]
         c0A, a0A = bgd[:, :kcap, 3:5], bgd[:, :kcap, 5]
@@ -1041,28 +1119,35 @@ def _solve_toi_b(states: State, dt, velocity_iterations: int,
         dB = mk_delta(solve & ns_b, cBfx, cBfy, aBf, cbx, cby, ab_,
                       vbx, vby, wb_, cB, aB, c0B, a0B, al0B, vB, wB, awB)
         bp = vscatter(bp, kbab, jnp.concatenate([dA, dB], axis=1))
-        return bp, lane_tc, k + 1, again
+        return bp, lane_tc, lane_touch | solve, k + 1, again
 
     def toi_cond(carry):
-        return (carry[2] < toi_rounds) & carry[3]
+        return (carry[3] < toi_rounds) & carry[4]
 
-    bp, lane_tc, _, _ = jax.lax.while_loop(
+    bp, lane_tc, lane_touch, _, _ = jax.lax.while_loop(
         toi_cond, round_body,
-        (body_pack0, lane_tc0, jnp.int32(0), jnp.bool_(True)))
+        (body_pack0, lane_tc0, jnp.zeros((n_worlds, kcap), bool),
+         jnp.int32(0), jnp.bool_(True)))
 
-    # scatter the lane sub-step counts back to the contact table
-    tc_add = vscatter(jnp.zeros((n_worlds, nc, 1), jnp.float32), sel,
-                      (lane_tc - lane_tc0)[..., None])[..., 0]
+    # scatter the lane sub-step counts + TOI touches back to contact slots;
+    # a TOI sub-step that found a manifold makes the pair touching NOW and
+    # fires BeginContact this step (b2World::StepSolveTOI's Contact::Update)
+    tc_add = vscatter(jnp.zeros((n_worlds, nc, 2), jnp.float32), sel,
+                      jnp.stack([lane_tc - lane_tc0,
+                                 lane_touch.astype(jnp.float32)], axis=-1))
+    toi_touch = tc_add[..., 1] > 0.5
     contacts2 = dataclasses.replace(
         contacts,
-        toi_count=contacts.toi_count + tc_add.astype(jnp.int32))
+        toi_count=contacts.toi_count + tc_add[..., 0].astype(jnp.int32),
+        touching=contacts.touching | toi_touch)
     bodies2 = dataclasses.replace(
         bodies, c=bp[..., 0:2], a=bp[..., 2], c0=bp[..., 3:5], a0=bp[..., 5],
         alpha0=jnp.zeros((n_worlds, nb), jnp.float32),
         v=bp[..., 7:9], w=bp[..., 9], awake=bp[..., 10] > 0.5)
     new_states = dataclasses.replace(states, bodies=bodies2,
                                      contacts=contacts2)
-    return new_states, toi_overflow
+    toi_begin = toi_touch & ~contacts.touching
+    return new_states, toi_overflow, toi_begin
 
 
 def possible_kinds(state: State) -> tuple:
@@ -1092,30 +1177,66 @@ def possible_kinds(state: State) -> tuple:
 @partial(jax.jit, static_argnames=(
     "velocity_iterations", "position_iterations", "warm_starting",
     "allow_sleep", "max_colors", "continuous", "toi_rounds", "kinds",
-    "toi_capacity"))
+    "toi_capacity", "pre_solve_fn"))
 def step_batched(states: State, dt, velocity_iterations: int = 8,
                  position_iterations: int = 3, warm_starting: bool = True,
                  allow_sleep: bool = True,
                  max_colors: int = settings.MAX_COLORS,
                  continuous: bool = True, toi_rounds: int = 8,
-                 kinds=nph.ALL_KINDS, toi_capacity=None
-                 ) -> Tuple[State, Events]:
+                 kinds=nph.ALL_KINDS, toi_capacity=None,
+                 pre_solve_fn=None) -> Tuple[State, Events]:
     """One world-step over a batch of worlds (leading axis on every State
     leaf). This is the production entry point: control flow (iteration
     loops, the dynamic color count, the TOI round loop, the gated pair
     refresh) lives ABOVE the world batch so the whole batch shares one
     scalar-predicated program — the fused-XLA analog of b2World::Step
-    driving every phase (b2World.cpp:1613-1710)."""
+    driving every phase (b2World.cpp:1613-1710).
+
+    `pre_solve_fn(state, view: PreSolveView) -> (C,) bool` is the PreSolve
+    callback analog: traced into the program per world between collide and
+    solve; False disables that contact slot for this step."""
     dt = jnp.asarray(dt, jnp.float32)
     if toi_capacity is None:
         toi_capacity = max(32, states.contacts.capacity // 8)
     n_worlds = states.bodies.body_type.shape[0]
 
-    manifold, sensor, ba, bb = _collide_b(states, kinds)
+    # between-step mutations (add/remove body/fixture, filter changes) set
+    # pairs_dirty; the reference finds those pairs at the START of Step
+    # (e_newFixture -> FindNewContacts, b2World.cpp:1628-1639)
+    nc_ = states.contacts.capacity
+    nf_ = states.fixtures.capacity
+
+    def _refresh_entry(sm):
+        f_a, f_b, _ = jax.vmap(
+            lambda s: broadphase.find_pairs(s, nc_))(sm)
+        return jax.vmap(
+            lambda c_, fa, fb: broadphase.carry_over_contacts(c_, fa, fb,
+                                                              nf_)
+        )(sm.contacts, f_a, f_b)
+    contacts0 = jax.lax.cond(jnp.any(states.pairs_dirty), _refresh_entry,
+                             lambda sm: sm.contacts, states)
+    states = dataclasses.replace(
+        states, contacts=contacts0,
+        pairs_dirty=jnp.zeros_like(states.pairs_dirty))
+
+    manifold, sensor, sensor_touch, ba, bb = _collide_b(states, kinds)
+    if pre_solve_fn is not None:
+        pair_exists = states.contacts.f_a >= 0
+        touching_now = pair_exists & jnp.where(sensor, sensor_touch,
+                                               manifold.count > 0)
+        view = PreSolveView(
+            f_a=states.contacts.f_a, f_b=states.contacts.f_b,
+            body_a=ba, body_b=bb, touching=touching_now, manifold=manifold,
+            old_mtype=states.contacts.m_type,
+            old_local_normal=states.contacts.m_local_normal,
+            old_count=states.contacts.m_count)
+        enabled = jax.vmap(pre_solve_fn)(states, view)
+    else:
+        enabled = jnp.ones(states.contacts.f_a.shape, bool)
     pre = jax.vmap(
-        lambda s, m, sn, a_, b_: _pre_solve(
-            s, dt, warm_starting, max_colors, m, sn, a_, b_)
-    )(states, manifold, sensor, ba, bb)
+        lambda s, m, sn, st_, en, a_, b_: _pre_solve(
+            s, dt, warm_starting, max_colors, m, sn, st_, en, a_, b_)
+    )(states, manifold, sensor, sensor_touch, enabled, ba, bb)
     mids, dropped = _solve_middle_b(states, pre, dt, velocity_iterations,
                                     position_iterations, warm_starting,
                                     max_colors)
@@ -1123,9 +1244,35 @@ def step_batched(states: State, dt, velocity_iterations: int = 8,
     events = events._replace(
         color_overflow=events.color_overflow + dropped.astype(jnp.int32))
     if continuous and toi_rounds > 0:
-        new_state, toi_overflow = _solve_toi_b(
+        if pre_solve_fn is not None:
+            # re-consult the hook for the refreshed pair table (the
+            # reference's TOI Update fires PreSolve again and skips the
+            # sub-step when disabled, b2World.cpp:871-874)
+            c2 = new_state.contacts
+            fb2 = jnp.clip(new_state.fixtures.body, 0)
+            man2 = nph.Manifold(
+                mtype=c2.m_type, local_point=c2.m_local_point,
+                local_normal=c2.m_local_normal, points=c2.m_points,
+                ids=c2.m_ids, count=c2.m_count)
+            view2 = PreSolveView(
+                f_a=c2.f_a, f_b=c2.f_b,
+                body_a=jnp.take_along_axis(fb2, jnp.clip(c2.f_a, 0), axis=1),
+                body_b=jnp.take_along_axis(fb2, jnp.clip(c2.f_b, 0), axis=1),
+                touching=c2.touching, manifold=man2,
+                old_mtype=c2.m_type, old_local_normal=c2.m_local_normal,
+                old_count=c2.m_count)
+            enabled_toi = jax.vmap(pre_solve_fn)(new_state, view2)
+        else:
+            enabled_toi = None
+        new_state, toi_overflow, toi_begin = _solve_toi_b(
             new_state, dt, velocity_iterations, toi_rounds, kinds,
-            toi_capacity)
+            toi_capacity, enabled=enabled_toi)
+        # TOI-created touches fire BeginContact this step. NOTE: toi_begin
+        # indexes the *refreshed* pair table (events.f_a/f_b index the
+        # pre-refresh table); expose it on its own slot basis.
+        events = events._replace(
+            begin_touch=events.begin_touch | toi_begin,
+            touching=events.touching | toi_begin)
     else:
         toi_overflow = jnp.zeros((n_worlds,), jnp.int32)
     return new_state, events._replace(toi_overflow=toi_overflow)
@@ -1134,19 +1281,21 @@ def step_batched(states: State, dt, velocity_iterations: int = 8,
 @partial(jax.jit, static_argnames=(
     "velocity_iterations", "position_iterations", "warm_starting",
     "allow_sleep", "max_colors", "continuous", "toi_rounds", "kinds",
-    "toi_capacity"))
+    "toi_capacity", "pre_solve_fn"))
 def step(state: State, dt, velocity_iterations: int = 8,
          position_iterations: int = 3, warm_starting: bool = True,
          allow_sleep: bool = True, max_colors: int = settings.MAX_COLORS,
          continuous: bool = True, toi_rounds: int = 8,
-         kinds=nph.ALL_KINDS, toi_capacity=None) -> Tuple[State, Events]:
+         kinds=nph.ALL_KINDS, toi_capacity=None,
+         pre_solve_fn=None) -> Tuple[State, Events]:
     """Single-world step: batch of one through step_batched."""
     states = jax.tree.map(lambda x: x[None], state)
     out, ev = step_batched(
         states, dt, velocity_iterations=velocity_iterations,
         position_iterations=position_iterations, warm_starting=warm_starting,
         allow_sleep=allow_sleep, max_colors=max_colors, continuous=continuous,
-        toi_rounds=toi_rounds, kinds=kinds, toi_capacity=toi_capacity)
+        toi_rounds=toi_rounds, kinds=kinds, toi_capacity=toi_capacity,
+        pre_solve_fn=pre_solve_fn)
     return (jax.tree.map(lambda x: x[0], out),
             jax.tree.map(lambda x: x[0], ev))
 
@@ -1470,7 +1619,7 @@ def _init_broadphase(state: State) -> State:
     lo, hi = broadphase.initial_fat_aabbs(state.fixtures, p[fb], q[fb])
     fx = dataclasses.replace(state.fixtures, aabb_lo=lo, aabb_hi=hi)
     state = dataclasses.replace(state, fixtures=fx)
-    f_a, f_b, _ = broadphase.find_pairs_allpairs(state, state.contacts.capacity)
+    f_a, f_b, _ = broadphase.find_pairs(state, state.contacts.capacity)
     contacts = broadphase.carry_over_contacts(state.contacts, f_a, f_b,
                                               fx.capacity)
     return dataclasses.replace(state, contacts=contacts)

@@ -84,16 +84,18 @@ def main():
     collide = jax.jit(lambda s: W._collide_b(s, kinds))
     results["phase_collide_ms"] = timeit(collide, states)
 
-    man, sensor, ba, bb = collide(states)
+    man, sensor, stouch, ba, bb = collide(states)
     jax.block_until_ready(man.count)
+    enabled = jnp.ones(states.contacts.f_a.shape, bool)
 
-    pre_fn = jax.jit(lambda s, m, sn, a_, b_: jax.vmap(
-        lambda s1, m1, sn1, a1, b1: W._pre_solve(
-            s1, dt, True, max_colors, m1, sn1, a1, b1)
-    )(s, m, sn, a_, b_))
-    results["phase_presolve_ms"] = timeit(pre_fn, states, man, sensor, ba, bb)
+    pre_fn = jax.jit(lambda s, m, sn, st_, en, a_, b_: jax.vmap(
+        lambda s1, m1, sn1, st1, en1, a1, b1: W._pre_solve(
+            s1, dt, True, max_colors, m1, sn1, st1, en1, a1, b1)
+    )(s, m, sn, st_, en, a_, b_))
+    results["phase_presolve_ms"] = timeit(pre_fn, states, man, sensor,
+                                          stouch, enabled, ba, bb)
 
-    pre = pre_fn(states, man, sensor, ba, bb)
+    pre = pre_fn(states, man, sensor, stouch, enabled, ba, bb)
     jax.block_until_ready(pre.bs)
 
     mid_fn = jax.jit(lambda s, p: W._solve_middle_b(s, p, dt, 8, 3, True,
