@@ -117,6 +117,101 @@ def apply_angular_impulse(state: State, body, impulse, wake=True) -> State:
     return _upd_bodies(state, **kw)
 
 
+def set_type(state: State, body, body_type) -> State:
+    """b2Body::SetType (b2Body.cpp): change static/kinematic/dynamic;
+    resets mass data, zeroes velocity for static, wakes the body, and
+    dirties the pair table (contact filtering depends on types)."""
+    b = state.bodies
+    static = body_type == settings.STATIC_BODY
+    bodies = dataclasses.replace(
+        b,
+        body_type=b.body_type.at[body].set(body_type),
+        v=b.v.at[body].set(jnp.where(static, 0.0, b.v[body])),
+        w=b.w.at[body].set(jnp.where(static, 0.0, b.w[body])),
+        c0=b.c0.at[body].set(b.c[body]), a0=b.a0.at[body].set(b.a[body]),
+        awake=b.awake.at[body].set(True),
+        sleep_time=b.sleep_time.at[body].set(0.0))
+    state = dataclasses.replace(state, bodies=bodies,
+                                pairs_dirty=jnp.asarray(True))
+    return _reset_mass_data(state, body)
+
+
+def set_bullet(state: State, body, flag: bool) -> State:
+    """b2Body::SetBullet — toggles CCD candidacy (evaluated per step)."""
+    b = state.bodies
+    return _upd_bodies(state, bullet=b.bullet.at[body].set(flag))
+
+
+def set_enabled(state: State, body, flag: bool) -> State:
+    """b2Body::SetActive analog: enabled bodies collide; disabling drops
+    the body's contacts at the next pair refresh."""
+    b = state.bodies
+    state = _upd_bodies(state, enabled=b.enabled.at[body].set(flag))
+    return dataclasses.replace(state, pairs_dirty=jnp.asarray(True))
+
+
+def set_fixed_rotation(state: State, body, flag: bool) -> State:
+    """b2Body::SetFixedRotation: zeroes angular velocity, resets mass."""
+    b = state.bodies
+    state = _upd_bodies(
+        state, fixed_rotation=b.fixed_rotation.at[body].set(flag),
+        w=b.w.at[body].set(0.0))
+    return _reset_mass_data(state, body)
+
+
+def set_linear_damping(state: State, body, value) -> State:
+    b = state.bodies
+    return _upd_bodies(
+        state, linear_damping=b.linear_damping.at[body].set(
+            jnp.float32(value)))
+
+
+def set_angular_damping(state: State, body, value) -> State:
+    b = state.bodies
+    return _upd_bodies(
+        state, angular_damping=b.angular_damping.at[body].set(
+            jnp.float32(value)))
+
+
+def set_gravity_scale(state: State, body, value) -> State:
+    b = state.bodies
+    return _upd_bodies(
+        state, gravity_scale=b.gravity_scale.at[body].set(
+            jnp.float32(value)))
+
+
+def set_sensor(state: State, fixture, flag: bool) -> State:
+    """b2Fixture::SetSensor."""
+    fx = state.fixtures
+    fx = dataclasses.replace(fx, is_sensor=fx.is_sensor.at[fixture].set(flag))
+    return dataclasses.replace(state, fixtures=fx)
+
+
+def set_thick_shape(state: State, fixture, flag: bool) -> State:
+    """MT fork b2Fixture::SetThickShape (b2Fixture.cpp:241-258): opts the
+    fixture out of non-bullet CCD (candidacy is evaluated per step)."""
+    fx = state.fixtures
+    fx = dataclasses.replace(fx,
+                             thick_shape=fx.thick_shape.at[fixture].set(flag))
+    return dataclasses.replace(state, fixtures=fx)
+
+
+def set_filter(state: State, fixture, category=None, mask=None,
+               group=None) -> State:
+    """b2Fixture::SetFilterData + Refilter: next step re-finds pairs."""
+    fx = state.fixtures
+    kw = {}
+    if category is not None:
+        kw["filter_category"] = fx.filter_category.at[fixture].set(category)
+    if mask is not None:
+        kw["filter_mask"] = fx.filter_mask.at[fixture].set(mask)
+    if group is not None:
+        kw["filter_group"] = fx.filter_group.at[fixture].set(group)
+    return dataclasses.replace(
+        state, fixtures=dataclasses.replace(fx, **kw),
+        pairs_dirty=jnp.asarray(True))
+
+
 # --------------------------------------------------------------------------
 # runtime world mutation: alloc/free into capacity slots
 # (b2World::CreateBody/DestroyBody/CreateFixture, b2World.cpp:549-832)
