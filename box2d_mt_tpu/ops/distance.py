@@ -160,7 +160,12 @@ def gjk_distance(verts_a, count_a, radius_a, pa, qa,
 
     def body(_, carry):
         s, done = carry
-        s1 = jnp.where(s.count == 2, 1, 0)  # marker only
+        # save the pre-solve vertex set: the duplicate-support termination
+        # below must compare against it (b2Distance.cpp saveA/saveB) — the
+        # reduced simplex forgets vertices, and near-degenerate segment
+        # configurations then cycle grow/reduce until the iteration cap
+        # and masquerade as a 3-simplex overlap
+        ia_save, ib_save, count_save = s.ia, s.ib, s.count
         s = jax.lax.cond(s.count == 2, _solve2,
                          lambda x: jax.lax.cond(x.count == 3, _solve3,
                                                 lambda y: y, x), s)
@@ -179,8 +184,8 @@ def gjk_distance(verts_a, count_a, radius_a, pa, qa,
 
         ia_new = _support(verts_a, count_a, rot_t_vec(qa, -d))
         ib_new = _support(verts_b, count_b, rot_t_vec(qb, d))
-        dup = jnp.any((jnp.arange(3) < s.count)
-                      & (s.ia == ia_new) & (s.ib == ib_new))
+        dup = jnp.any((jnp.arange(3) < count_save)
+                      & (ia_save == ia_new) & (ib_save == ib_new))
         done = done | dup
 
         wa_new = rot_vec(qa, verts_a[ia_new]) + pa

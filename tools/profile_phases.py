@@ -23,13 +23,21 @@ import jax
 import jax.numpy as jnp
 
 
+def _sync(out):
+    """Force device completion: block_until_ready is not a reliable sync
+    on the axon tunnel backend; a host fetch of one element is."""
+    import numpy as _np
+    leaf = jax.tree.leaves(out)[0]
+    _np.asarray(leaf.ravel()[0:1])
+
+
 def timeit(fn, *args, reps=5):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     return (time.perf_counter() - t0) / reps * 1e3  # ms
 
 
