@@ -23,7 +23,7 @@ Quick start::
 from . import math2d, settings, shapes, state
 from .state import State, Bodies, Fixtures, Contacts, Joints
 from .world import WorldBuilder, Events, PreSolveView, step
-from . import diagnostics, mutate, rope
+from . import diagnostics, draw, mutate, rope
 from .ops.raycast import query_aabb, ray_cast_all, ray_cast_closest
 from .ops.distance import shape_cast
 

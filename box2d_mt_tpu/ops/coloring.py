@@ -50,36 +50,68 @@ def color_constraints(body_a, body_b, conflict_a, conflict_b, active,
     prio = jnp.arange(k, dtype=jnp.int32)
     color = jnp.full(k, -1, jnp.int32)
     remaining = active
-
-    # packed endpoint indices: one scatter-min + one gather per round
-    # (slot n_bodies is a dump target for non-conflicting endpoints)
-    idx2 = jnp.concatenate([jnp.where(conflict_a, body_a, n_bodies),
-                            jnp.where(conflict_b, body_b, n_bodies)])
-    conflict2 = jnp.concatenate([conflict_a, conflict_b])
-
     rank = jnp.zeros(k, jnp.int32)
 
-    def cond(carry):
-        c, color, remaining, rank = carry
-        return (c < max_colors - 1) & jnp.any(remaining)
+    if k <= 2048:
+        # conflict matrix on the MXU: two constraints conflict iff they
+        # share a conflicting (dynamic) endpoint. winner-per-round =
+        # uncolored with no lower-priority uncolored conflicting neighbor
+        # — exactly the scatter-min rule below, as one matvec per round.
+        rng = jnp.arange(n_bodies)
+        xa = (conflict_a & active)[:, None] & (body_a[:, None] == rng)
+        xb = (conflict_b & active)[:, None] & (body_b[:, None] == rng)
+        x = (xa | xb).astype(jnp.float32)              # (K, N)
+        conflict = jnp.matmul(
+            x, x.T, precision=jax.lax.Precision.DEFAULT) > 0.0
+        conf_lower = (conflict
+                      & (prio[:, None] > prio[None, :])).astype(jnp.float32)
 
-    def round_body(carry):
-        c, color, remaining, rank = carry
-        key = jnp.where(remaining, prio, BIG)
-        key2 = jnp.where(conflict2, jnp.concatenate([key, key]), BIG)
-        slot = scatter_min_scalar(n_bodies + 1, idx2, key2, BIG)
-        g = gather_scalar(slot, jnp.clip(idx2, 0, n_bodies - 1))
-        win_a = ~conflict_a | (g[:k] == prio)
-        win_b = ~conflict_b | (g[k:] == prio)
-        winner = remaining & win_a & win_b
-        color = jnp.where(winner, c, color)
-        if with_rank:
-            rank = jnp.where(winner,
-                             jnp.cumsum(winner.astype(jnp.int32)) - 1, rank)
-        return c + 1, color, remaining & ~winner, rank
+        def cond(carry):
+            c, color, remaining, rank = carry
+            return (c < max_colors - 1) & jnp.any(remaining)
 
-    _, color, remaining, rank = jax.lax.while_loop(
-        cond, round_body, (jnp.int32(0), color, remaining, rank))
+        def round_body(carry):
+            c, color, remaining, rank = carry
+            blocked = jnp.matmul(
+                conf_lower, remaining.astype(jnp.float32)[:, None],
+                precision=jax.lax.Precision.DEFAULT)[:, 0] > 0.0
+            winner = remaining & ~blocked
+            color = jnp.where(winner, c, color)
+            if with_rank:
+                rank = jnp.where(
+                    winner, jnp.cumsum(winner.astype(jnp.int32)) - 1, rank)
+            return c + 1, color, remaining & ~winner, rank
+
+        _, color, remaining, rank = jax.lax.while_loop(
+            cond, round_body, (jnp.int32(0), color, remaining, rank))
+    else:
+        # large worlds: the K x K conflict matrix would not fit — use
+        # per-round scatter-min over body slots instead
+        idx2 = jnp.concatenate([jnp.where(conflict_a, body_a, n_bodies),
+                                jnp.where(conflict_b, body_b, n_bodies)])
+        conflict2 = jnp.concatenate([conflict_a, conflict_b])
+
+        def cond(carry):
+            c, color, remaining, rank = carry
+            return (c < max_colors - 1) & jnp.any(remaining)
+
+        def round_body(carry):
+            c, color, remaining, rank = carry
+            key = jnp.where(remaining, prio, BIG)
+            key2 = jnp.where(conflict2, jnp.concatenate([key, key]), BIG)
+            slot = scatter_min_scalar(n_bodies + 1, idx2, key2, BIG)
+            g = gather_scalar(slot, jnp.clip(idx2, 0, n_bodies - 1))
+            win_a = ~conflict_a | (g[:k] == prio)
+            win_b = ~conflict_b | (g[k:] == prio)
+            winner = remaining & win_a & win_b
+            color = jnp.where(winner, c, color)
+            if with_rank:
+                rank = jnp.where(
+                    winner, jnp.cumsum(winner.astype(jnp.int32)) - 1, rank)
+            return c + 1, color, remaining & ~winner, rank
+
+        _, color, remaining, rank = jax.lax.while_loop(
+            cond, round_body, (jnp.int32(0), color, remaining, rank))
     # overflow: park leftovers in the last color (Jacobi fallback)
     overflow = jnp.sum(remaining)
     color = jnp.where(remaining, max_colors - 1, color)

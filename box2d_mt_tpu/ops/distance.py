@@ -146,17 +146,40 @@ def _solve3(s: _Simplex) -> _Simplex:
 
 def gjk_distance(verts_a, count_a, radius_a, pa, qa,
                  verts_b, count_b, radius_b, pb, qb,
-                 use_radii: bool = False):
+                 use_radii: bool = False,
+                 cache_ia=None, cache_ib=None, cache_count=None):
     """b2Distance for one pair. Returns (point_a, point_b, distance,
     cache_ia (3,), cache_ib (3,), cache_count) — the cache seeds the TOI
-    separation function exactly like b2SimplexCache."""
-    wa0 = rot_vec(qa, verts_a[0]) + pa
-    wb0 = rot_vec(qb, verts_b[0]) + pb
-    simplex = _Simplex(
-        wa=jnp.stack([wa0, wa0, wa0]), wb=jnp.stack([wb0, wb0, wb0]),
-        ia=jnp.zeros(3, jnp.int32), ib=jnp.zeros(3, jnp.int32),
-        bary=jnp.array([1.0, 0.0, 0.0], jnp.float32),
-        count=jnp.int32(1))
+    separation function exactly like b2SimplexCache.
+
+    Passing a previous call's cache warm-starts the simplex
+    (b2Simplex::ReadCache): on nearly-unchanged transforms GJK then
+    terminates in one or two iterations — this is what keeps the TOI
+    advancement loop's serial depth down."""
+    if cache_ia is not None:
+        cia = jnp.clip(cache_ia, 0)
+        cib = jnp.clip(cache_ib, 0)
+        was = jax.vmap(lambda i: rot_vec(qa, verts_a[i]) + pa)(cia)
+        wbs = jax.vmap(lambda i: rot_vec(qb, verts_b[i]) + pb)(cib)
+        cnt = jnp.clip(cache_count, 1, 3)
+        # degenerate 3-simplex guard (the metric check analog,
+        # b2Distance.cpp ReadCache): a near-zero-area cached triangle
+        # would break Solve3's region tests — restart from one vertex
+        w = wbs - was
+        area = ((w[1, 0] - w[0, 0]) * (w[2, 1] - w[0, 1])
+                - (w[1, 1] - w[0, 1]) * (w[2, 0] - w[0, 0]))
+        cnt = jnp.where((cnt == 3) & (jnp.abs(area) < EPS), 1, cnt)
+        simplex = _Simplex(
+            wa=was, wb=wbs, ia=cia, ib=cib,
+            bary=jnp.array([1.0, 0.0, 0.0], jnp.float32), count=cnt)
+    else:
+        wa0 = rot_vec(qa, verts_a[0]) + pa
+        wb0 = rot_vec(qb, verts_b[0]) + pb
+        simplex = _Simplex(
+            wa=jnp.stack([wa0, wa0, wa0]), wb=jnp.stack([wb0, wb0, wb0]),
+            ia=jnp.zeros(3, jnp.int32), ib=jnp.zeros(3, jnp.int32),
+            bary=jnp.array([1.0, 0.0, 0.0], jnp.float32),
+            count=jnp.int32(1))
 
     def body(_, carry):
         s, done = carry
@@ -454,11 +477,12 @@ def time_of_impact(verts_a, count_a, radius_a, lc_a, c0_a, c_a, a0_a, a_a,
         return xfa, xfb
 
     def outer(_, carry):
-        t1, state, t_out, done = carry
+        t1, state, t_out, done, cache = carry
         xfa, xfb = xf_at(t1)
         _, _, dist, cia, cib, ccount = gjk_distance(
             verts_a, count_a, radius_a, xfa[0], xfa[1],
-            verts_b, count_b, radius_b, xfb[0], xfb[1])
+            verts_b, count_b, radius_b, xfb[0], xfb[1],
+            cache_ia=cache[0], cache_ib=cache[1], cache_count=cache[2])
 
         overlapped = dist <= 0.0
         touching = ~overlapped & (dist < target + tolerance)
@@ -521,7 +545,11 @@ def time_of_impact(verts_a, count_a, radius_a, lc_a, c0_a, c_a, a0_a, a_a,
 
             def root_cond(rcarry):
                 k, (_, _, _, _, _, rdone) = rcarry
-                return (k < 32) & ~rdone
+                # hybrid secant/bisection converges in <= ~10 ticks at
+                # slop/4 tolerance; the reference's 50 cap never binds.
+                # Under vmap every lane pays the batch-max trip count, so
+                # the cap IS the worst-case cost - keep it tight.
+                return (k < 12) & ~rdone
 
             def root_body(rcarry):
                 k, rc = rcarry
@@ -546,20 +574,23 @@ def time_of_impact(verts_a, count_a, radius_a, lc_a, c0_a, c_a, a0_a, a_a,
             (jnp.int32(0), (t1, t_max, state, t_out, done, jnp.bool_(False))))
         t1 = jnp.where(done, t1, t1n)
         done = done | done2
-        return t1, state, t_out, done
+        return t1, state, t_out, done, (cia, cib, ccount)
 
     def outer_cond(carry):
-        k, (_, _, _, done) = carry
-        return (k < 20) & ~done
+        k, (_, _, _, done, _) = carry
+        return (k < 10) & ~done
 
     def outer_body(carry):
         k, c = carry
         return k + 1, outer(k, c)
 
     done0 = ~jnp.asarray(active, bool)
-    _, (t1, state, t_out, done) = jax.lax.while_loop(
+    cache0 = (jnp.zeros(3, jnp.int32), jnp.zeros(3, jnp.int32),
+              jnp.int32(1))
+    _, (t1, state, t_out, done, _) = jax.lax.while_loop(
         outer_cond, outer_body,
-        (jnp.int32(0), (zeros, jnp.int32(TOI_UNKNOWN), t_max, done0)))
+        (jnp.int32(0), (zeros, jnp.int32(TOI_UNKNOWN), t_max, done0,
+                        cache0)))
     # root finder stuck -> failed at t1
     state = jnp.where(done, state, jnp.int32(TOI_FAILED))
     t_out = jnp.where(done, t_out, t1)

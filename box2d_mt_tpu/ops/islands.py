@@ -30,38 +30,41 @@ def island_labels(n_bodies: int, edges_a, edges_b, edge_active, body_connectable
     edge_active: (E,) bool.
     body_connectable: (N,) bool — non-static existing bodies.
     Returns (N,) i32 labels; unconnectable bodies keep their own index.
+
+    Computed as a boolean transitive closure by repeated adjacency squaring
+    — log2(diameter) MXU matmuls over the (N, N) reachability matrix —
+    instead of scatter/gather label propagation. The label is the minimum
+    reachable body index, identical to the DFS island numbering
+    (b2World.cpp:1207-1330) up to island naming.
     """
-    labels = jnp.arange(n_bodies, dtype=jnp.int32)
-    # an edge links its endpoints only if both are connectable (non-static)
-    link = edge_active & body_connectable[jnp.clip(edges_a, 0, n_bodies - 1)] \
-        & body_connectable[jnp.clip(edges_b, 0, n_bodies - 1)]
-    ea = jnp.where(link, edges_a, 0)
-    eb = jnp.where(link, edges_b, 0)
+    del rounds
+    ea = jnp.clip(edges_a, 0, n_bodies - 1)
+    eb = jnp.clip(edges_b, 0, n_bodies - 1)
 
-    e2 = jnp.concatenate([ea, eb])
+    rng = jnp.arange(n_bodies)
+    oh_a = jnp.where(edge_active[:, None], (ea[:, None] == rng[None, :]),
+                     False)
+    oh_b = jnp.where(edge_active[:, None], (eb[:, None] == rng[None, :]),
+                     False)
+    adj = jnp.matmul(oh_a.T.astype(jnp.float32), oh_b.astype(jnp.float32),
+                     precision=jax.lax.Precision.DEFAULT) > 0.0
+    # only non-static bodies merge islands (the DFS "doesn't cross static")
+    # — masking the matrix avoids per-edge connectable gathers entirely
+    adj &= body_connectable[:, None] & body_connectable[None, :]
+    adj = adj | adj.T | jnp.eye(n_bodies, dtype=bool)
 
-    def cond(carry):
-        r, labels, changed = carry
-        return (r < rounds) & changed
+    # closure = adj^(2^k): doubles reach per squaring
+    n_sq = max(1, (n_bodies - 1).bit_length())
 
-    def body(carry):
-        r, labels, _ = carry
-        g = gather_scalar(labels, e2)
-        m = jnp.minimum(g[: ea.shape[0]], g[ea.shape[0]:])
-        m2 = jnp.where(jnp.concatenate([link, link]),
-                       jnp.concatenate([m, m]), BIGI)
-        mins = scatter_min_scalar(n_bodies, e2, m2, BIGI)
-        new = jnp.minimum(labels, mins)
-        # pointer jumping doubles propagation reach per round
-        new = gather_scalar(new, new)
-        new = gather_scalar(new, new)
-        # exit as soon as labels stabilize (propagation converges in
-        # O(log diameter) rounds; `rounds` is only the worst-case bound)
-        return r + 1, new, jnp.any(new != labels)
+    def square(_, a):
+        af = a.astype(jnp.float32)
+        return jnp.matmul(af, af,
+                          precision=jax.lax.Precision.DEFAULT) > 0.0
 
-    _, labels, _ = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), labels, jnp.bool_(True)))
-    return labels
+    closure = jax.lax.fori_loop(0, n_sq, square, adj)
+    # argmax over bool finds the FIRST set bit = min reachable body index
+    labels = jnp.argmax(closure, axis=1).astype(jnp.int32)
+    return jnp.where(body_connectable, labels, rng)
 
 
 BIGI = jnp.iinfo(jnp.int32).max

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 from functools import partial
 from typing import NamedTuple, Optional, Tuple
 
@@ -405,9 +406,16 @@ def _pre_solve(state: State, dt, warm_starting: bool, max_colors: int,
     v, w = integrate.integrate_velocities(
         dataclasses.replace(bodies, awake=awake), state.gravity, dt, solve_mask)
 
-    cc_active = solvable_contact & ((dyn[ba] & awake[ba]) | (dyn[bb] & awake[bb]))
+    # per-endpoint flags via one one-hot gather each (native batched gather
+    # costs ~25ns/element on TPU — poison for per-contact lookups)
+    flags = dyn.astype(jnp.float32) + 2.0 * awake.astype(jnp.float32)
+    fa = gather_scalar(flags, ba).astype(jnp.int32)
+    fb_ = gather_scalar(flags, bb).astype(jnp.int32)
+    dyn_a, awake_a = (fa & 1) > 0, (fa & 2) > 0
+    dyn_b, awake_b = (fb_ & 1) > 0, (fb_ & 2) > 0
+    cc_active = solvable_contact & ((dyn_a & awake_a) | (dyn_b & awake_b))
     color, color_overflow, rank = coloring.color_constraints(
-        ba, bb, dyn[ba], dyn[bb], cc_active, nb, max_colors, with_rank=True)
+        ba, bb, dyn_a, dyn_b, cc_active, nb, max_colors, with_rank=True)
 
     cc = csolver.init_contact_constraints(
         contacts, fx, bodies, bodies.c, bodies.a, v, w, cc_active)
@@ -632,7 +640,8 @@ def _post_sleep_sync(state: State, pre: _PreSolve, dt, allow_sleep,
 
     # per-island convergence for sleep (positionSolved analog)
     contact_ok = min_sep >= -3.0 * settings.LINEAR_SLOP
-    c_label = gather_scalar(labels, jnp.where(non_static[ba], ba, bb))
+    ns_a = gather_scalar(non_static.astype(jnp.int32), ba) > 0
+    c_label = gather_scalar(labels, jnp.where(ns_a, ba, bb))
     island_ok = scatter_min_scalar(
         nb, jnp.where(cc_active, c_label, nb),
         jnp.where(cc_active, contact_ok, True).astype(jnp.int32), 1) > 0
@@ -655,8 +664,10 @@ def _post_sleep_sync(state: State, pre: _PreSolve, dt, allow_sleep,
     p1, q1 = _body_xf(bodies)
     fx = state.fixtures
     fb = jnp.clip(fx.body, 0)
+    xf_pack = jnp.concatenate([p0, q0, p1, q1], axis=1)   # (N, 8)
+    g8 = gather_rows(xf_pack, fb)                         # one one-hot gather
     aabb_lo, aabb_hi, moved = broadphase.synchronize(
-        fx, p0[fb], q0[fb], p1[fb], q1[fb])
+        fx, g8[:, 0:2], g8[:, 2:4], g8[:, 4:6], g8[:, 6:8])
     fx = dataclasses.replace(fx, aabb_lo=aabb_lo, aabb_hi=aabb_hi)
 
     inv_dt0 = jnp.where(dt > 0, 1.0 / jnp.where(dt > 0, dt, 1.0), state.inv_dt0)
@@ -716,6 +727,18 @@ def _post_solve_b(states: State, pre: _PreSolve, dt, allow_sleep, mids
 
 
 
+def _use_pallas_toi() -> bool:
+    """The TOI advancement runs as a Pallas kernel on TPU backends (its
+    nested data-dependent loops cost ~10x more as vmapped XLA dispatches);
+    CPU (tests, dryrun) uses the XLA reference implementation."""
+    if os.environ.get("BOX2D_TPU_NO_PALLAS"):
+        return False
+    try:
+        return jax.devices()[0].platform not in ("cpu",)
+    except Exception:
+        return False
+
+
 def _solve_toi_b(states: State, dt, velocity_iterations: int,
                  toi_rounds: int, kinds, toi_capacity: int,
                  enabled=None):
@@ -772,7 +795,6 @@ def _solve_toi_b(states: State, dt, velocity_iterations: int,
     vscatter = jax.vmap(scatter_add)
     vgs = jax.vmap(gather_scalar)
     vmin = jax.vmap(scatter_min_scalar, in_axes=(None, 0, 0, None))
-    take = jax.vmap(lambda t, i: jnp.take(t, i, axis=0))
 
     f_a, f_b = contacts.f_a, contacts.f_b          # (W,C)
     ia = jnp.clip(f_a, 0)
@@ -815,16 +837,25 @@ def _solve_toi_b(states: State, dt, velocity_iterations: int,
     order = jnp.argsort(jnp.where(active0, 0, 1).astype(jnp.int32),
                         axis=1, stable=True)
     sel = order[:, :kcap]                           # (W,K) contact slots
-    lane_on = take(active0, sel)
+    # one packed one-hot gather for all per-slot lane data (native batched
+    # take costs ~25ns/element here)
+    slot_blob = jnp.stack([
+        active0.astype(jnp.float32), ia.astype(jnp.float32),
+        ib.astype(jnp.float32), ba.astype(jnp.float32),
+        bb.astype(jnp.float32), type_a.astype(jnp.float32),
+        type_b.astype(jnp.float32), contacts.toi_count.astype(jnp.float32),
+    ], axis=-1)                                     # (W,C,8)
+    sg = vgather(slot_blob, sel)                    # (W,K,8)
+    lane_on = sg[..., 0] > 0.5
     toi_overflow = (jnp.sum(active0, axis=1)
                     - jnp.sum(lane_on, axis=1)).astype(jnp.int32)
 
-    kia = take(ia, sel)
-    kib = take(ib, sel)
-    kba = take(ba, sel)
-    kbb = take(bb, sel)
-    ktype_a = take(type_a, sel)
-    ktype_b = take(type_b, sel)
+    kia = sg[..., 1].astype(jnp.int32)
+    kib = sg[..., 2].astype(jnp.int32)
+    kba = sg[..., 3].astype(jnp.int32)
+    kbb = sg[..., 4].astype(jnp.int32)
+    ktype_a = sg[..., 5].astype(jnp.int32)
+    ktype_b = sg[..., 6].astype(jnp.int32)
     ns_a = ktype_a != settings.STATIC_BODY          # endpoints moved by resolve
     ns_b = ktype_b != settings.STATIC_BODY
     dyn_a = ktype_a == settings.DYNAMIC_BODY
@@ -899,7 +930,7 @@ def _solve_toi_b(states: State, dt, velocity_iterations: int,
         jnp.zeros((n_worlds, nb, 1), jnp.float32),
         bodies.v, bodies.w[..., None],
         bodies.awake.astype(jnp.float32)[..., None]], axis=-1)  # (W,N,11)
-    lane_tc0 = take(contacts.toi_count, sel).astype(jnp.float32)
+    lane_tc0 = sg[..., 7]
 
     def round_body(carry):
         bp, lane_tc, lane_touch, k, _ = carry
@@ -938,12 +969,50 @@ def _solve_toi_b(states: State, dt, velocity_iterations: int,
         run = (lane_on & ~blocked & awake_now & (al0 < 1.0)
                & (mb > 0.5 * settings.LINEAR_SLOP))
 
-        tstate, t = jax.vmap(dst.time_of_impact)(
-            rows_a.verts, rows_a.nverts, rows_a.radius,
-            flat(lcA), flat(c0As), flat(cA), flat(a0As), flat(aA),
-            rows_b.verts, rows_b.nverts, rows_b.radius,
-            flat(lcB), flat(c0Bs), flat(cB), flat(a0Bs), flat(aB),
-            jnp.ones(n_worlds * kcap, jnp.float32), flat(run))
+        if _use_pallas_toi():
+            from .ops import pallas_toi as ptoi
+            n_lanes = n_worlds * kcap
+            pad = (-n_lanes) % ptoi.LANE_BLOCK
+            r = ptoi._ROWS
+
+            def fl(x):
+                return jnp.pad(flat(x), (0, pad))
+
+            rows = [jnp.zeros(n_lanes + pad, jnp.float32)] * ptoi.SBLOB_ROWS
+            for name, val in (
+                    ("ra", rows_a.radius), ("rb", rows_b.radius)):
+                rows[r[name]] = jnp.pad(val, (0, pad))
+            for name, val in (
+                    ("lcax", lcA[..., 0]), ("lcay", lcA[..., 1]),
+                    ("lcbx", lcB[..., 0]), ("lcby", lcB[..., 1]),
+                    ("c0ax", c0As[..., 0]), ("c0ay", c0As[..., 1]),
+                    ("cax", cA[..., 0]), ("cay", cA[..., 1]),
+                    ("a0a", a0As), ("aa", aA),
+                    ("c0bx", c0Bs[..., 0]), ("c0by", c0Bs[..., 1]),
+                    ("cbx", cB[..., 0]), ("cby", cB[..., 1]),
+                    ("a0b", a0Bs), ("ab", aB)):
+                rows[r[name]] = fl(val)
+            rows[r["cnta"]] = jnp.pad(rows_a.nverts.astype(jnp.float32),
+                                      (0, pad))
+            rows[r["cntb"]] = jnp.pad(rows_b.nverts.astype(jnp.float32),
+                                      (0, pad))
+            rows[r["tmax"]] = jnp.pad(
+                jnp.ones(n_lanes, jnp.float32), (0, pad))
+            rows[r["active"]] = fl(run.astype(jnp.float32))
+            sblob = jnp.stack(rows)
+            padv = lambda v: jnp.pad(v.T, ((0, 0), (0, pad)))
+            tstate, t = ptoi.time_of_impact_lanes(
+                sblob, padv(rows_a.verts[..., 0]), padv(rows_a.verts[..., 1]),
+                padv(rows_b.verts[..., 0]), padv(rows_b.verts[..., 1]))
+            tstate = tstate[:n_lanes]
+            t = t[:n_lanes]
+        else:
+            tstate, t = jax.vmap(dst.time_of_impact)(
+                rows_a.verts, rows_a.nverts, rows_a.radius,
+                flat(lcA), flat(c0As), flat(cA), flat(a0As), flat(aA),
+                rows_b.verts, rows_b.nverts, rows_b.radius,
+                flat(lcB), flat(c0Bs), flat(cB), flat(a0Bs), flat(aB),
+                jnp.ones(n_worlds * kcap, jnp.float32), flat(run))
         tstate = unflat(tstate)
         t = unflat(t)
         alpha = jnp.where(tstate == dst.TOI_TOUCHING,

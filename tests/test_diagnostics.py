@@ -50,3 +50,15 @@ def test_setters():
         st, ev = world.step(st, 1 / 60)
     # disabled body: no contacts, does not fall? (reference: not simulated)
     assert not bool(np.asarray(ev.touching).any())
+
+
+def test_draw_data_and_svg():
+    from box2d_mt_tpu import draw
+    st = scenes.hello_world()
+    d = draw.draw_data(st)
+    assert int(np.asarray(d.exists).sum()) == 2
+    # dynamic box world verts around (0, 4)
+    v = np.asarray(d.verts[1][:4])
+    assert np.allclose(v.mean(axis=0), [0.0, 4.0], atol=1e-5)
+    svg = draw.draw_svg(st)
+    assert svg.startswith("<svg") and "polygon" in svg

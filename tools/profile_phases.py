@@ -47,6 +47,8 @@ def main():
     ap.add_argument("--rows", type=int, default=10)
     ap.add_argument("--warm-steps", type=int, default=30)
     ap.add_argument("--json", action="store_true")
+    ap.add_argument("--quick", action="store_true",
+                    help="whole-step variants only (4 compiles)")
     args = ap.parse_args()
 
     from box2d_mt_tpu import world as W
@@ -86,6 +88,18 @@ def main():
                                   - results["step_vi1_ms"]) / 7.0
     results["per_pos_iter_ms"] = (results["step_no_ccd_ms"]
                                   - results["step_pi1_ms"]) / 2.0
+
+    if args.quick:
+        meta = {"worlds": args.worlds, "rows": args.rows,
+                "device": jax.devices()[0].device_kind}
+        if args.json:
+            print(json.dumps({**meta, **{k: round(v, 2) for k, v in
+                                         results.items()}}))
+        else:
+            print(f"# phase profile (quick): {meta}")
+            for k, v in results.items():
+                print(f"{k:28s} {v:8.2f}")
+        return 0
 
     # ---- individual phases (separate programs; boundary transfers add a
     # little, so the sum slightly exceeds step_full)
