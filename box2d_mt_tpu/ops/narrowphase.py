@@ -194,6 +194,8 @@ class ShapeLanes(NamedTuple):
     ny: jax.Array
     count: jax.Array   # (L,) i32
     radius: jax.Array  # (L,)
+    g0: jax.Array      # (L,) bool — edge ghost-vertex flags
+    g1: jax.Array
 
 
 class ManifoldLanes(NamedTuple):
@@ -219,7 +221,8 @@ def rows_to_lanes(r: ShapeRows) -> ShapeLanes:
         vy=jnp.moveaxis(r.verts[..., 1], -1, 0),
         nx=jnp.moveaxis(r.normals[..., 0], -1, 0),
         ny=jnp.moveaxis(r.normals[..., 1], -1, 0),
-        count=r.nverts, radius=r.radius)
+        count=r.nverts, radius=r.radius,
+        g0=r.ghosts[..., 0], g1=r.ghosts[..., 1])
 
 
 def _rows_to_lanes1(r: ShapeRows) -> ShapeLanes:
@@ -227,7 +230,8 @@ def _rows_to_lanes1(r: ShapeRows) -> ShapeLanes:
     return ShapeLanes(
         vx=r.verts[:, 0, None], vy=r.verts[:, 1, None],
         nx=r.normals[:, 0, None], ny=r.normals[:, 1, None],
-        count=r.nverts[None], radius=r.radius[None])
+        count=r.nverts[None], radius=r.radius[None],
+        g0=r.ghosts[0][None], g1=r.ghosts[1][None])
 
 
 def lanes_to_manifold(m: ManifoldLanes) -> Manifold:
@@ -480,186 +484,231 @@ def _clip_segment_to_line(v, ids, normal, offset, vertex_index_a):
 # --------------------------------------------------------------------------
 
 def collide_edge_polygon(a: ShapeRows, pA, qA, b: ShapeRows, pB, qB) -> Manifold:
-    # Work in the edge's frame (m_xf = b2MulT(xfA, xfB)).
-    xp, xq = transform_mul_t(pA, qA, pB, qB)
-    # centroid of polygon B = mean-free: use stored centroid? Rows carry only
-    # verts; the true b2 centroid equals the area centroid, but the collider
-    # only uses it for front/back classification, and verts-mean differs.
-    # We pack the exact centroid as normals[...] is occupied, so recompute the
-    # area centroid here from the (<=8) hull — cheap and exact.
-    valid = _I8 < b.nverts
-    nB = b.nverts
-    centroid_local = _polygon_centroid_jax(b.verts, nB)
-    centroid = transform_point(xp, xq, centroid_local)
+    """Single-pair wrapper over the lane-major EPCollider core."""
+    m = collide_edge_polygon_core(
+        _rows_to_lanes1(a), pA[0, None], pA[1, None], qA[0, None], qA[1, None],
+        _rows_to_lanes1(b), pB[0, None], pB[1, None], qB[0, None], qB[1, None])
+    return lanes_to_manifold(jax.tree.map(lambda x: x[0], m))
 
-    v0, v1, v2, v3 = a.verts[2], a.verts[0], a.verts[1], a.verts[3]
-    has0, has3 = a.ghosts[0], a.ghosts[1]
 
-    edge1, _ = normalize(v2 - v1)
-    normal1 = jnp.stack([edge1[1], -edge1[0]])
-    offset1 = dot(normal1, centroid - v1)
+def _sel8_f(idx, arr):
+    """arr (8, L), idx (L,) -> (L,)."""
+    oh = _I8[:, None] == idx[None, :]
+    return jnp.sum(jnp.where(oh, arr, 0), axis=0)
 
-    edge0, _ = normalize(v1 - v0)
-    normal0 = jnp.stack([edge0[1], -edge0[0]])
-    convex1 = cross_vv(edge0, edge1) >= 0.0
-    offset0 = jnp.where(has0, dot(normal0, centroid - v0), 0.0)
 
-    edge2, _ = normalize(v3 - v2)
-    normal2 = jnp.stack([edge2[1], -edge2[0]])
-    convex2 = cross_vv(edge1, edge2) > 0.0
-    offset2 = jnp.where(has3, dot(normal2, centroid - v2), 0.0)
+def collide_edge_polygon_core(a: ShapeLanes, pax, pay, qas, qac,
+                              b: ShapeLanes, pbx, pby, qbs, qbc
+                              ) -> ManifoldLanes:
+    """Lane-major b2EPCollider (b2CollideEdge.cpp:193-698): all 9
+    ghost-vertex cases, axis hysteresis, reference clipping."""
+    # edge frame: xf = MulT(xfA, xfB)
+    xqs = qac * qbs - qas * qbc
+    xqc = qac * qbc + qas * qbs
+    dxp = pbx - pax
+    dyp = pby - pay
+    xpx = qac * dxp + qas * dyp
+    xpy = -qas * dxp + qac * dyp
 
-    # Front/back classification and normal limits
-    # (b2EPCollider::Collide, b2CollideEdge.cpp:273-429) — all 9 cases.
-    def case(front, lo_f, up_f, lo_b, up_b):
-        return front, jnp.where(front, lo_f, lo_b), jnp.where(front, up_f, up_b)
+    valid_b = _I8[:, None] < b.count[None, :]
+    nBf = jnp.maximum(b.count, 1).astype(jnp.float32)
 
-    # both ghosts
+    # polygon centroid in B frame, then into edge frame
+    bvxm = jnp.where(valid_b, b.vx, 0.0)
+    bvym = jnp.where(valid_b, b.vy, 0.0)
+    prx = jnp.sum(bvxm, axis=0) / nBf
+    pry = jnp.sum(bvym, axis=0) / nBf
+    nxt = jnp.where(_I8[:, None] + 1 < b.count[None, :], _I8[:, None] + 1, 0)
+    # next-vertex select via one-hot (native take is slow on TPU)
+    oh_n = nxt[:, None, :] == _I8[None, :, None]          # (8,8,L)
+    bvx_nx = jnp.sum(jnp.where(oh_n, b.vx[None, :, :], 0.0), axis=1)
+    bvy_nx = jnp.sum(jnp.where(oh_n, b.vy[None, :, :], 0.0), axis=1)
+    p1x, p1y = b.vx - prx, b.vy - pry
+    p2x, p2y = bvx_nx - prx, bvy_nx - pry
+    d_ = p1x * p2y - p1y * p2x
+    tri = jnp.where(valid_b, 0.5 * d_, 0.0)
+    area = jnp.sum(tri, axis=0)
+    safe_area = jnp.where(area == 0.0, 1.0, area)
+    clx = jnp.sum(tri / 3.0 * (p1x + p2x) * valid_b, axis=0) / safe_area + prx
+    cly = jnp.sum(tri / 3.0 * (p1y + p2y) * valid_b, axis=0) / safe_area + pry
+    cx = xqc * clx - xqs * cly + xpx
+    cy = xqs * clx + xqc * cly + xpy
+
+    v0x, v0y = a.vx[2], a.vy[2]
+    v1x, v1y = a.vx[0], a.vy[0]
+    v2x, v2y = a.vx[1], a.vy[1]
+    v3x, v3y = a.vx[3], a.vy[3]
+    has0, has3 = a.g0, a.g1
+
+    def norm2(x, y):
+        ln = jnp.sqrt(x * x + y * y)
+        s = jnp.where(ln > 1.1754943508222875e-38, ln, 1.0)
+        ok = ln > 1.1754943508222875e-38
+        return jnp.where(ok, x / s, 0.0), jnp.where(ok, y / s, 0.0)
+
+    e1x, e1y = norm2(v2x - v1x, v2y - v1y)
+    n1x, n1y = e1y, -e1x
+    offset1 = n1x * (cx - v1x) + n1y * (cy - v1y)
+
+    e0x, e0y = norm2(v1x - v0x, v1y - v0y)
+    n0x, n0y = e0y, -e0x
+    convex1 = e0x * e1y - e0y * e1x >= 0.0
+    offset0 = jnp.where(has0, n0x * (cx - v0x) + n0y * (cy - v0y), 0.0)
+
+    e2x, e2y = norm2(v3x - v2x, v3y - v2y)
+    n2x, n2y = e2y, -e2x
+    convex2 = e1x * e2y - e1y * e2x > 0.0
+    offset2 = jnp.where(has3, n2x * (cx - v2x) + n2y * (cy - v2y), 0.0)
+
+    # front/back classification + normal limits, all 9 cases
+    # (b2EPCollider::Collide, b2CollideEdge.cpp:273-429)
+    def case(front, lofx, lofy, upfx, upfy, lobx, loby, upbx, upby):
+        return (front,
+                jnp.where(front, lofx, lobx), jnp.where(front, lofy, loby),
+                jnp.where(front, upfx, upbx), jnp.where(front, upfy, upby))
+
     f_cc = (offset0 >= 0.0) | (offset1 >= 0.0) | (offset2 >= 0.0)
-    c_cc = case(f_cc, normal0, normal2, -normal1, -normal1)
+    c_cc = case(f_cc, n0x, n0y, n2x, n2y, -n1x, -n1y, -n1x, -n1y)
     f_c1 = (offset0 >= 0.0) | ((offset1 >= 0.0) & (offset2 >= 0.0))
-    c_c1 = case(f_c1, normal0, normal1, -normal2, -normal1)
+    c_c1 = case(f_c1, n0x, n0y, n1x, n1y, -n2x, -n2y, -n1x, -n1y)
     f_c2 = (offset2 >= 0.0) | ((offset0 >= 0.0) & (offset1 >= 0.0))
-    c_c2 = case(f_c2, normal1, normal2, -normal1, -normal0)
+    c_c2 = case(f_c2, n1x, n1y, n2x, n2y, -n1x, -n1y, -n0x, -n0y)
     f_nn = (offset0 >= 0.0) & (offset1 >= 0.0) & (offset2 >= 0.0)
-    c_nn = case(f_nn, normal1, normal1, -normal2, -normal0)
+    c_nn = case(f_nn, n1x, n1y, n1x, n1y, -n2x, -n2y, -n0x, -n0y)
 
-    def sel3(c, x, y):
-        return (jnp.where(c, x[0], y[0]),
-                jnp.where(c, x[1], y[1]),
-                jnp.where(c, x[2], y[2]))
+    def sel5(c, x, y):
+        return tuple(jnp.where(c, xi, yi) for xi, yi in zip(x, y))
 
-    both = sel3(convex1 & convex2, c_cc,
-                sel3(convex1, c_c1, sel3(convex2, c_c2, c_nn)))
-
-    # only vertex0 ghost
+    both = sel5(convex1 & convex2, c_cc,
+                sel5(convex1, c_c1, sel5(convex2, c_c2, c_nn)))
     f_0c = (offset0 >= 0.0) | (offset1 >= 0.0)
-    c_0c = case(f_0c, normal0, -normal1, normal1, -normal1)
+    c_0c = case(f_0c, n0x, n0y, -n1x, -n1y, n1x, n1y, -n1x, -n1y)
     f_0n = (offset0 >= 0.0) & (offset1 >= 0.0)
-    c_0n = case(f_0n, normal1, -normal1, normal1, -normal0)
-    only0 = sel3(convex1, c_0c, c_0n)
-
-    # only vertex3 ghost
+    c_0n = case(f_0n, n1x, n1y, -n1x, -n1y, n1x, n1y, -n0x, -n0y)
+    only0 = sel5(convex1, c_0c, c_0n)
     f_3c = (offset1 >= 0.0) | (offset2 >= 0.0)
-    c_3c = case(f_3c, -normal1, normal2, -normal1, normal1)
+    c_3c = case(f_3c, -n1x, -n1y, n2x, n2y, -n1x, -n1y, n1x, n1y)
     f_3n = (offset1 >= 0.0) & (offset2 >= 0.0)
-    c_3n = case(f_3n, -normal1, normal1, -normal2, normal1)
-    only3 = sel3(convex2, c_3c, c_3n)
-
-    # isolated edge
+    c_3n = case(f_3n, -n1x, -n1y, n1x, n1y, -n2x, -n2y, n1x, n1y)
+    only3 = sel5(convex2, c_3c, c_3n)
     f_iso = offset1 >= 0.0
-    iso = case(f_iso, -normal1, -normal1, normal1, normal1)
+    iso = case(f_iso, -n1x, -n1y, -n1x, -n1y, n1x, n1y, n1x, n1y)
 
-    # Precedence matches the reference's if/else-if chain:
-    # (has0 && has3) -> has0 -> has3 -> isolated.
-    front, lower_limit, upper_limit = sel3(
-        has0 & has3, both, sel3(has0, only0, sel3(has3, only3, iso)))
-    m_normal = jnp.where(front, normal1, -normal1)
+    front, lolx, loly, upx, upy = sel5(
+        has0 & has3, both, sel5(has0, only0, sel5(has3, only3, iso)))
+    mnx = jnp.where(front, n1x, -n1x)
+    mny = jnp.where(front, n1y, -n1y)
 
-    # Polygon B in frame A
-    pverts = rot_vec(xq, b.verts) + xp        # (8,2)
-    pnormals = rot_vec(xq, b.normals)         # (8,2)
+    # polygon B in edge frame
+    pvx = xqc * b.vx - xqs * b.vy + xpx               # (8, L)
+    pvy = xqs * b.vx + xqc * b.vy + xpy
+    pnx = xqc * b.nx - xqs * b.ny
+    pny = xqs * b.nx + xqc * b.ny
     radius = a.radius + b.radius
 
     # ComputeEdgeSeparation (b2CollideEdge.cpp:596-613)
-    s_edge_all = dot(m_normal, pverts - v1)
-    edge_sep = jnp.min(jnp.where(valid, s_edge_all, BIG))
+    s_edge = mnx * (pvx - v1x) + mny * (pvy - v1y)
+    edge_sep = jnp.min(jnp.where(valid_b, s_edge, BIG), axis=0)
 
     # ComputePolygonSeparation (b2CollideEdge.cpp:615-663)
-    perp = jnp.stack([-m_normal[1], m_normal[0]])
-    n_neg = -pnormals                         # (8,2)
-    s1 = dot(n_neg, pverts - v1)
-    s2 = dot(n_neg, pverts - v2)
+    px_, py_ = -mny, mnx                              # perp
+    nnx, nny = -pnx, -pny
+    s1 = nnx * (pvx - v1x) + nny * (pvy - v1y)
+    s2 = nnx * (pvx - v2x) + nny * (pvy - v2y)
     s_poly = jnp.minimum(s1, s2)
-    poly_separated = jnp.any(valid & (s_poly > radius))
-    adj_upper = dot(n_neg, perp) >= 0.0
-    lim = jnp.where(adj_upper[:, None], upper_limit[None, :], lower_limit[None, :])
-    adj_ok = dot(n_neg - lim, m_normal) >= -settings.ANGULAR_SLOP
-    s_poly_m = jnp.where(valid & adj_ok, s_poly, -BIG)
-    poly_index = jnp.argmax(s_poly_m)
-    poly_sep = s_poly_m[poly_index]
-    poly_axis_known = jnp.any(valid & adj_ok)
+    poly_separated = jnp.any(valid_b & (s_poly > radius), axis=0)
+    adj_upper = nnx * px_ + nny * py_ >= 0.0
+    limx = jnp.where(adj_upper, upx, lolx)
+    limy = jnp.where(adj_upper, upy, loly)
+    adj_ok = (nnx - limx) * mnx + (nny - limy) * mny >= -settings.ANGULAR_SLOP
+    s_poly_m = jnp.where(valid_b & adj_ok, s_poly, -BIG)
+    poly_index = jnp.argmax(s_poly_m, axis=0).astype(jnp.int32)
+    poly_sep = jnp.max(s_poly_m, axis=0)
+    poly_axis_known = jnp.any(valid_b & adj_ok, axis=0)
 
     separated = (edge_sep > radius) | poly_separated
+    use_poly = poly_axis_known & (poly_sep > 0.98 * edge_sep + 0.001)
 
-    # Axis choice with hysteresis (b2CollideEdge.cpp:440-457)
-    k_rel, k_abs = 0.98, 0.001
-    use_poly = poly_axis_known & (poly_sep > k_rel * edge_sep + k_abs)
-
-    # --- primary axis = edgeA branch (face A) ---
-    d_best = dot(m_normal, pnormals)
-    d_best = jnp.where(valid, d_best, BIG)
-    best = jnp.argmin(d_best)
-    bi1 = best
-    bi2 = jnp.where(bi1 + 1 < nB, bi1 + 1, 0)
-    ieA_v = jnp.stack([pverts[bi1], pverts[bi2]])
-    ieA_ids = jnp.stack([
-        pack_id(0, bi1, jnp.int32(FEAT_FACE), jnp.int32(FEAT_VERTEX)),
-        pack_id(0, bi2, jnp.int32(FEAT_FACE), jnp.int32(FEAT_VERTEX)),
-    ])
+    # --- primary axis = edgeA branch (face A)
+    d_best = jnp.where(valid_b, mnx * pnx + mny * pny, BIG)
+    best = jnp.argmin(d_best, axis=0).astype(jnp.int32)
+    bi2 = jnp.where(best + 1 < b.count, best + 1, 0)
+    ieA0x, ieA0y = _sel8_f(best, pvx), _sel8_f(best, pvy)
+    ieA1x, ieA1y = _sel8_f(bi2, pvx), _sel8_f(bi2, pvy)
+    ieA_id0 = pack_id(0, best, jnp.int32(FEAT_FACE), jnp.int32(FEAT_VERTEX))
+    ieA_id1 = pack_id(0, bi2, jnp.int32(FEAT_FACE), jnp.int32(FEAT_VERTEX))
     rfA_i1 = jnp.where(front, 0, 1)
     rfA_i2 = jnp.where(front, 1, 0)
-    rfA_v1 = jnp.where(front, v1, v2)
-    rfA_v2 = jnp.where(front, v2, v1)
-    rfA_normal = jnp.where(front, normal1, -normal1)
+    rfA_v1x = jnp.where(front, v1x, v2x)
+    rfA_v1y = jnp.where(front, v1y, v2y)
+    rfA_v2x = jnp.where(front, v2x, v1x)
+    rfA_v2y = jnp.where(front, v2y, v1y)
 
-    # --- primary axis = edgeB branch (face B) ---
-    ieB_v = jnp.stack([v1, v2])
-    ieB_ids = jnp.stack([
-        pack_id(0, poly_index, jnp.int32(FEAT_VERTEX), jnp.int32(FEAT_FACE)),
-        pack_id(0, poly_index, jnp.int32(FEAT_VERTEX), jnp.int32(FEAT_FACE)),
-    ])
-    rfB_i1 = poly_index
-    rfB_i2 = jnp.where(rfB_i1 + 1 < nB, rfB_i1 + 1, 0)
-    rfB_v1 = pverts[rfB_i1]
-    rfB_v2 = pverts[rfB_i2]
-    rfB_normal = pnormals[rfB_i1]
+    # --- primary axis = edgeB branch (face B)
+    rfB_i2 = jnp.where(poly_index + 1 < b.count, poly_index + 1, 0)
+    ieB_id = pack_id(0, poly_index, jnp.int32(FEAT_VERTEX),
+                     jnp.int32(FEAT_FACE))
+    rfB_v1x, rfB_v1y = _sel8_f(poly_index, pvx), _sel8_f(poly_index, pvy)
+    rfB_v2x, rfB_v2y = _sel8_f(rfB_i2, pvx), _sel8_f(rfB_i2, pvy)
+    rfB_nx, rfB_ny = _sel8_f(poly_index, pnx), _sel8_f(poly_index, pny)
 
-    ie_v = jnp.where(use_poly, ieB_v, ieA_v)
-    ie_ids = jnp.where(use_poly, ieB_ids, ieA_ids)
-    rf_i1 = jnp.where(use_poly, rfB_i1, rfA_i1)
+    ie0x = jnp.where(use_poly, v1x, ieA0x)
+    ie0y = jnp.where(use_poly, v1y, ieA0y)
+    ie1x = jnp.where(use_poly, v2x, ieA1x)
+    ie1y = jnp.where(use_poly, v2y, ieA1y)
+    ie_id0 = jnp.where(use_poly, ieB_id, ieA_id0)
+    ie_id1 = jnp.where(use_poly, ieB_id, ieA_id1)
+    rf_i1 = jnp.where(use_poly, poly_index, rfA_i1)
     rf_i2 = jnp.where(use_poly, rfB_i2, rfA_i2)
-    rf_v1 = jnp.where(use_poly, rfB_v1, rfA_v1)
-    rf_v2 = jnp.where(use_poly, rfB_v2, rfA_v2)
-    rf_normal = jnp.where(use_poly, rfB_normal, rfA_normal)
+    rf_v1x = jnp.where(use_poly, rfB_v1x, rfA_v1x)
+    rf_v1y = jnp.where(use_poly, rfB_v1y, rfA_v1y)
+    rf_v2x = jnp.where(use_poly, rfB_v2x, rfA_v2x)
+    rf_v2y = jnp.where(use_poly, rfB_v2y, rfA_v2y)
+    rf_nx = jnp.where(use_poly, rfB_nx, mnx)
+    rf_ny = jnp.where(use_poly, rfB_ny, mny)
 
-    side_normal1 = jnp.stack([rf_normal[1], -rf_normal[0]])
-    side_normal2 = -side_normal1
-    side_offset1 = dot(side_normal1, rf_v1)
-    side_offset2 = dot(side_normal2, rf_v2)
+    sn1x, sn1y = rf_ny, -rf_nx
+    so1 = sn1x * rf_v1x + sn1y * rf_v1y
+    so2 = -sn1x * rf_v2x - sn1y * rf_v2y
 
-    clip1_v, clip1_ids, np1 = _clip_segment_to_line(ie_v, ie_ids, side_normal1, side_offset1, rf_i1)
-    clip2_v, clip2_ids, np2 = _clip_segment_to_line(clip1_v, clip1_ids, side_normal2, side_offset2, rf_i2)
+    c0x, c0y, c1x, c1y, cid0, cid1, np1 = _clip_segment_s(
+        ie0x, ie0y, ie1x, ie1y, ie_id0, ie_id1, sn1x, sn1y, so1, rf_i1)
+    c0x, c0y, c1x, c1y, cid0, cid1, np2 = _clip_segment_s(
+        c0x, c0y, c1x, c1y, cid0, cid1, -sn1x, -sn1y, so2, rf_i2)
     clip_ok = (np1 >= 2) & (np2 >= 2)
 
-    local_normal = jnp.where(use_poly, b.normals[rfB_i1], rf_normal)
-    local_point = jnp.where(use_poly, b.verts[rfB_i1], rf_v1)
+    lnx = jnp.where(use_poly, _sel8_f(poly_index, b.nx), rf_nx)
+    lny = jnp.where(use_poly, _sel8_f(poly_index, b.ny), rf_ny)
+    lpx = jnp.where(use_poly, _sel8_f(poly_index, b.vx), rf_v1x)
+    lpy = jnp.where(use_poly, _sel8_f(poly_index, b.vy), rf_v1y)
 
-    sep0 = dot(rf_normal, clip2_v[0] - rf_v1)
-    sep1 = dot(rf_normal, clip2_v[1] - rf_v1)
+    sep0 = rf_nx * (c0x - rf_v1x) + rf_ny * (c0y - rf_v1y)
+    sep1 = rf_nx * (c1x - rf_v1x) + rf_ny * (c1y - rf_v1y)
     keep0 = sep0 <= radius
     keep1 = sep1 <= radius
 
-    lpA0 = transform_t_point(xp, xq, clip2_v[0])
-    lpA1 = transform_t_point(xp, xq, clip2_v[1])
-    lp0 = jnp.where(use_poly, clip2_v[0], lpA0)
-    lp1 = jnp.where(use_poly, clip2_v[1], lpA1)
-    id0 = jnp.where(use_poly, flip_id(clip2_ids[0]), clip2_ids[0])
-    id1 = jnp.where(use_poly, flip_id(clip2_ids[1]), clip2_ids[1])
+    # local points: faceA stores B-frame points, faceB stores edge-frame
+    lA0x = xqc * (c0x - xpx) + xqs * (c0y - xpy)
+    lA0y = -xqs * (c0x - xpx) + xqc * (c0y - xpy)
+    lA1x = xqc * (c1x - xpx) + xqs * (c1y - xpy)
+    lA1y = -xqs * (c1x - xpx) + xqc * (c1y - xpy)
+    lp0x = jnp.where(use_poly, c0x, lA0x)
+    lp0y = jnp.where(use_poly, c0y, lA0y)
+    lp1x = jnp.where(use_poly, c1x, lA1x)
+    lp1y = jnp.where(use_poly, c1y, lA1y)
+    id0 = jnp.where(use_poly, flip_id(cid0), cid0)
+    id1 = jnp.where(use_poly, flip_id(cid1), cid1)
 
-    first_lp = jnp.where(keep0, lp0, lp1)
-    first_id = jnp.where(keep0, id0, id1)
     count = keep0.astype(jnp.int32) + keep1.astype(jnp.int32)
-    count = jnp.where(separated | ~clip_ok, 0, count).astype(jnp.int32)
-
-    return Manifold(
-        mtype=jnp.where(use_poly, settings.MANIFOLD_FACE_B, settings.MANIFOLD_FACE_A).astype(jnp.int32),
-        local_point=local_point,
-        local_normal=local_normal,
-        points=jnp.stack([first_lp, lp1]),
-        ids=jnp.stack([first_id, id1]),
-        count=count,
-    )
+    count = jnp.where(separated | ~clip_ok, 0, count)
+    return ManifoldLanes(
+        mtype=jnp.where(use_poly, settings.MANIFOLD_FACE_B,
+                        settings.MANIFOLD_FACE_A).astype(jnp.int32),
+        lpx=lpx, lpy=lpy, lnx=lnx, lny=lny,
+        p0x=jnp.where(keep0, lp0x, lp1x), p0y=jnp.where(keep0, lp0y, lp1y),
+        p1x=lp1x, p1y=lp1y,
+        id0=jnp.where(keep0, id0, id1), id1=id1,
+        count=count.astype(jnp.int32))
 
 
 def _polygon_centroid_jax(verts, count):
@@ -708,6 +757,7 @@ _CORE_COLLIDERS = {
     KIND_CIRCLES: collide_circles_core,
     KIND_POLYGON_CIRCLE: collide_polygon_circle_core,
     KIND_POLYGONS: collide_polygons_core,
+    KIND_EDGE_POLYGON: collide_edge_polygon_core,
 }
 
 

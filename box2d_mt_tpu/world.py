@@ -229,12 +229,14 @@ def _collide_b(states: State, kinds):
     flat2 = lambda x: x.reshape((n_worlds * nc,) + x.shape[2:])
 
     def lanes_from_blob(gh, pqh):
-        g2 = gh.reshape(n_worlds * nc, gh.shape[-1])
-        pq2 = pqh.reshape(n_worlds * nc, 4)
+        n_ = gh.shape[0] * gh.shape[1]
+        g2 = gh.reshape(n_, gh.shape[-1])
+        pq2 = pqh.reshape(n_, 4)
         lanes = nph.ShapeLanes(
             vx=g2[:, 0:16:2].T, vy=g2[:, 1:16:2].T,
             nx=g2[:, 16:32:2].T, ny=g2[:, 17:32:2].T,
-            count=g2[:, 33].astype(jnp.int32), radius=g2[:, 32])
+            count=g2[:, 33].astype(jnp.int32), radius=g2[:, 32],
+            g0=g2[:, 34] > 0.5, g1=g2[:, 35] > 0.5)
         return lanes, pq2[:, 0], pq2[:, 1], pq2[:, 2], pq2[:, 3]
 
     if primary in nph._CORE_COLLIDERS:
@@ -271,7 +273,7 @@ def _collide_b(states: State, kinds):
         maxc = jnp.max(cnt)
         coll = nph._COLLIDERS[k]
 
-        def chunk_body(carry, coll=coll, order=order, cnt=cnt):
+        def chunk_body(carry, k=k, coll=coll, order=order, cnt=cnt):
             acc, any_sec, c = carry
             idx = jax.lax.dynamic_slice(
                 order, (jnp.int32(0), c * ck), (n_worlds, ck))  # (W,ck)
@@ -280,11 +282,20 @@ def _collide_b(states: State, kinds):
             pql = vgather(pq_ab.reshape(n_worlds, 2 * nc, 4),
                           jnp.concatenate([idx, idx + nc], axis=1))
             flatk = lambda x: x.reshape((n_worlds * ck,) + x.shape[2:])
-            man = jax.vmap(coll)(
-                unpack_rows(flatk(gl[:, :ck])),
-                flatk(pql[:, :ck, 0:2]), flatk(pql[:, :ck, 2:4]),
-                unpack_rows(flatk(gl[:, ck:])),
-                flatk(pql[:, ck:, 0:2]), flatk(pql[:, ck:, 2:4]))
+            if k in nph._CORE_COLLIDERS:
+                la_, pax_, pay_, qas_, qac_ = lanes_from_blob(
+                    gl[:, :ck], pql[:, :ck])
+                lb_, pbx_, pby_, qbs_, qbc_ = lanes_from_blob(
+                    gl[:, ck:], pql[:, ck:])
+                man = nph.lanes_to_manifold(nph._CORE_COLLIDERS[k](
+                    la_, pax_, pay_, qas_, qac_, lb_, pbx_, pby_, qbs_,
+                    qbc_))
+            else:
+                man = jax.vmap(coll)(
+                    unpack_rows(flatk(gl[:, :ck])),
+                    flatk(pql[:, :ck, 0:2]), flatk(pql[:, :ck, 2:4]),
+                    unpack_rows(flatk(gl[:, ck:])),
+                    flatk(pql[:, ck:, 0:2]), flatk(pql[:, ck:, 2:4]))
             man = jax.tree.map(
                 lambda x: x.reshape((n_worlds, ck) + x.shape[1:]), man)
             lane_blob = jnp.concatenate([
