@@ -130,8 +130,11 @@ def main():
     if os.path.exists(ref_file):
         with open(ref_file) as f:
             ref = json.load(f)
-        ref_steps_per_sec = ref.get(f"pyramid{rows}_steps_per_sec",
-                                    ref_steps_per_sec)
+        # compare like-for-like step windows: the reference's long-window
+        # numbers are inflated ~7x by the pyramid falling asleep
+        ref_steps_per_sec = ref.get(
+            f"pyramid{rows}_steps{n_steps}_steps_per_sec",
+            ref.get(f"pyramid{rows}_steps_per_sec", ref_steps_per_sec))
     detail["ref_steps_per_sec"] = ref_steps_per_sec
 
     print(json.dumps({

@@ -476,17 +476,28 @@ def _solve_middle_b(states: State, pre: _PreSolve, dt,
     v = jnp.stack([bs[:, 0], bs[:, 1]], axis=-1)
     w = bs[:, 2]
 
-    # global dynamic color count (scalar): empty tail colors cost nothing
-    n_col = 1 + jnp.max(jnp.where(cc.active & (color >= 0), color, -1))
-
-    # ---- compact constraints into padded color-major lanes. The color and
-    # within-color rank come straight out of the coloring rounds, so the
-    # permutation is pure arithmetic + one scatter (no sort).
+    # ---- compact constraints into chunk-aligned color-packed lanes. The
+    # color and within-color rank come straight out of the coloring rounds,
+    # so the permutation is pure arithmetic + one scatter (no sort).
+    # Colors pack back to back, each padded to a multiple of the chunk
+    # width `ck`; a color larger than ck simply spans several passes
+    # (sub-chunks of a conflict-free set stay conflict-free, so Gauss-
+    # Seidel semantics are exact and nothing is ever dropped). Pass COUNT
+    # dominates cost (each pass is a fixed bundle of small kernels), so ck
+    # stays wide: passes ~= number of colors.
     ck = min(nc, nb)
-    p_total = max_colors * ck
-    lane_ok = cc.active & (color >= 0) & (pre.rank < ck)
-    dest = jnp.where(lane_ok, color * ck + pre.rank, p_total)   # (W, C)
-    dropped = jnp.sum(cc.active & (color >= 0) & (pre.rank >= ck), axis=1)
+    p_total = nc + max_colors * ck
+    lane_ok = cc.active & (color >= 0)
+    mc_iota = jnp.arange(max_colors)
+    col_oh = lane_ok[:, :, None] & (color[:, :, None] == mc_iota)
+    sizes = jnp.max(jnp.where(col_oh, pre.rank[:, :, None] + 1, 0),
+                    axis=1)                                  # (W, MC)
+    chunks_c = (sizes + ck - 1) // ck
+    starts = (jnp.cumsum(chunks_c, axis=1) - chunks_c) * ck  # (W, MC)
+    my_start = jnp.sum(jnp.where(col_oh, starts[:, None, :], 0), axis=2)
+    dest = jnp.where(lane_ok, my_start + pre.rank, p_total)  # (W, C)
+    n_chunks = jnp.max(jnp.sum(chunks_c, axis=1))
+    dropped = jnp.zeros((n_worlds,), jnp.int32)
     slot_ids = jnp.broadcast_to(jnp.arange(nc, dtype=jnp.int32),
                                 (n_worlds, nc))
     perm = jax.vmap(
@@ -502,12 +513,13 @@ def _solve_middle_b(states: State, pre: _PreSolve, dt,
                ).astype(blob.dtype)
     pblob = jnp.einsum("wpc,wck->wpk", perm_oh, blob,
                        precision=jax.lax.Precision.HIGHEST)  # (W, P, K)
-    # impulses evolve across iterations: carry them as flat (W, P) planes —
-    # a (W, P, 2) carry would be padded 64x in HBM (trailing dim -> 128
-    # lanes); the constraint blob itself stays packed and is unpacked per
-    # CK-chunk inside the loop bodies so no (W, P, 2) invariants materialize
-    pni0, pni1 = pblob[..., 47], pblob[..., 48]
-    pti0, pti1 = pblob[..., 49], pblob[..., 50]
+    # impulses evolve across iterations: carry them as one (W, 4, P) plane
+    # stack [ni0; ni1; ti0; ti1] — a single dynamic slice/update per chunk
+    # pass (per-pass kernel count is the solve loop's cost driver). The
+    # constraint blob stays packed and is unpacked per chunk inside the
+    # loop bodies so no wide (W, P, k) invariants materialize.
+    pimp = jnp.stack([pblob[..., 47], pblob[..., 48],
+                      pblob[..., 49], pblob[..., 50]], axis=1)  # (W, 4, P)
 
     def pack(v, w):
         return jnp.stack([v[..., 0], v[..., 1], w], axis=-2)
@@ -534,28 +546,29 @@ def _solve_middle_b(states: State, pre: _PreSolve, dt,
     def unchunk(x, part, ci):
         return jax.lax.dynamic_update_slice_in_dim(x, part, ci * ck, axis=1)
 
-    def contact_vel_colors(n0, n1, t0, t1, bs):
+    def contact_vel_colors(imp, bs):
         def cond(carry):
-            return carry[0] < n_col
+            return carry[0] < n_chunks
 
         def body(carry):
-            ci, (n0, n1, t0, t1, b_) = carry
+            ci, (imp, b_) = carry
             ccc, _, _ = csolver.unpack_cc_blob(chunk(pblob, ci))
-            ni = jnp.stack([chunk(n0, ci), chunk(n1, ci)], axis=-1)
-            ti = jnp.stack([chunk(t0, ci), chunk(t1, ci)], axis=-1)
+            impc = jax.lax.dynamic_slice_in_dim(imp, ci * ck, ck, axis=2)
+            ni = jnp.stack([impc[:, 0], impc[:, 1]], axis=-1)
+            ti = jnp.stack([impc[:, 2], impc[:, 3]], axis=-1)
             nic, tic, b_ = jax.vmap(csolver.solve_velocity_color)(
                 ccc, ni, ti, b_, ones_ck)
-            return ci + 1, (unchunk(n0, nic[..., 0], ci),
-                            unchunk(n1, nic[..., 1], ci),
-                            unchunk(t0, tic[..., 0], ci),
-                            unchunk(t1, tic[..., 1], ci), b_)
+            impc = jnp.stack([nic[..., 0], nic[..., 1],
+                              tic[..., 0], tic[..., 1]], axis=1)
+            imp = jax.lax.dynamic_update_slice_in_dim(imp, impc, ci * ck,
+                                                      axis=2)
+            return ci + 1, (imp, b_)
 
-        _, out = jax.lax.while_loop(
-            cond, body, (jnp.int32(0), (n0, n1, t0, t1, bs)))
+        _, out = jax.lax.while_loop(cond, body, (jnp.int32(0), (imp, bs)))
         return out
 
     def vel_iter(_, carry):
-        n0, n1, t0, t1, bs, jstate = carry
+        imp, bs, jstate = carry
         if have_joints:
             v = jnp.stack([bs[:, 0], bs[:, 1]], axis=-1)
             w = bs[:, 2]
@@ -563,12 +576,11 @@ def _solve_middle_b(states: State, pre: _PreSolve, dt,
                 lambda jd, js, vv, ww: solve_joint_velocity(
                     jd, js, vv, ww, dt, max_colors))(jdata, jstate, v, w)
             bs = pack(v, w)
-        n0, n1, t0, t1, bs = contact_vel_colors(n0, n1, t0, t1, bs)
-        return n0, n1, t0, t1, bs, jstate
+        imp, bs = contact_vel_colors(imp, bs)
+        return imp, bs, jstate
 
-    pni0, pni1, pti0, pti1, bs, jstate = jax.lax.fori_loop(
-        0, velocity_iterations, vel_iter,
-        (pni0, pni1, pti0, pti1, bs, jstate))
+    pimp, bs, jstate = jax.lax.fori_loop(
+        0, velocity_iterations, vel_iter, (pimp, bs, jstate))
     v = jnp.stack([bs[:, 0], bs[:, 1]], axis=-1)
     w = bs[:, 2]
 
@@ -580,7 +592,7 @@ def _solve_middle_b(states: State, pre: _PreSolve, dt,
 
     def contact_pos_colors(ps, min_sep):
         def cond(carry):
-            return carry[0] < n_col
+            return carry[0] < n_chunks
 
         def body(carry):
             ci, (p_, ms_) = carry
@@ -615,7 +627,8 @@ def _solve_middle_b(states: State, pre: _PreSolve, dt,
     a = ps[:, 2]
 
     # ---- un-compact: impulses + min separation back to contact-slot order
-    out_blob = jnp.stack([pni0, pni1, pti0, pti1, pmin_sep], axis=-1)
+    out_blob = jnp.stack([pimp[:, 0], pimp[:, 1], pimp[:, 2], pimp[:, 3],
+                          pmin_sep], axis=-1)
     out_blob = jnp.concatenate(
         [out_blob, jnp.zeros((n_worlds, 1, 5), out_blob.dtype)], axis=1)
     dest_oh = (jnp.clip(dest, 0, p_total)[:, :, None]
@@ -1307,6 +1320,38 @@ def step_batched(states: State, dt, velocity_iterations: int = 8,
         states, contacts=contacts0,
         pairs_dirty=jnp.zeros_like(states.pairs_dirty))
 
+    # all-asleep fast path: when no non-static body in ANY world is awake,
+    # nothing can move or change touch state — the whole step is identity
+    # (the batched analog of the reference skipping sleeping islands,
+    # b2World.cpp:1219-1224). Settled scenes then cost one reduction.
+    b0 = states.bodies
+    any_active = jnp.any(b0.awake & (b0.body_type >= 0)
+                         & (b0.body_type != settings.STATIC_BODY))
+
+    def _skip_step(states):
+        c = states.contacts
+        zc = jnp.zeros(c.f_a.shape, bool)
+        zw = jnp.zeros((n_worlds,), jnp.int32)
+        return states, Events(
+            begin_touch=zc, end_touch=zc, f_a=c.f_a, f_b=c.f_b,
+            pair_overflow=zw, color_overflow=zw, toi_overflow=zw,
+            normal_impulse=jnp.zeros(c.f_a.shape + (2,), jnp.float32),
+            tangent_impulse=jnp.zeros(c.f_a.shape + (2,), jnp.float32),
+            touching=c.touching)
+
+    def _active_step(states):
+        return _step_active(
+            states, dt, velocity_iterations, position_iterations,
+            warm_starting, allow_sleep, max_colors, continuous, toi_rounds,
+            kinds, toi_capacity, pre_solve_fn, n_worlds)
+
+    return jax.lax.cond(any_active, _active_step, _skip_step, states)
+
+
+def _step_active(states, dt, velocity_iterations, position_iterations,
+                 warm_starting, allow_sleep, max_colors, continuous,
+                 toi_rounds, kinds, toi_capacity, pre_solve_fn, n_worlds):
+    """The full phase pipeline (see step_batched)."""
     manifold, sensor, sensor_touch, ba, bb = _collide_b(states, kinds)
     if pre_solve_fn is not None:
         pair_exists = states.contacts.f_a >= 0
