@@ -73,6 +73,8 @@ def gather_cols(table_t, idx):
     axis; the (N, K)/(M, K) row-major forms would pad tiny K to 128 lanes
     (up to 64x HBM bloat when carried through loops)."""
     n = table_t.shape[1]
+    if not _use_onehot(idx.shape[0], n):
+        return table_t[:, idx]
     oh = (idx[None, :] == jnp.arange(n)[:, None]).astype(table_t.dtype)
     return jnp.matmul(table_t, oh, precision=_EXACT)
 
@@ -80,6 +82,8 @@ def gather_cols(table_t, idx):
 def scatter_add_cols(table_t, idx, delta_t):
     """table_t (K, N) += delta_t (K, M) at columns idx (M,). Duplicates sum."""
     n = table_t.shape[1]
+    if not _use_onehot(idx.shape[0], n):
+        return table_t.at[:, idx].add(delta_t)
     oh = (idx[:, None] == jnp.arange(n)[None, :]).astype(table_t.dtype)
     return table_t + jnp.matmul(delta_t, oh, precision=_EXACT)
 

@@ -31,12 +31,17 @@ def island_labels(n_bodies: int, edges_a, edges_b, edge_active, body_connectable
     body_connectable: (N,) bool — non-static existing bodies.
     Returns (N,) i32 labels; unconnectable bodies keep their own index.
 
-    Computed as a boolean transitive closure by repeated adjacency squaring
-    — log2(diameter) MXU matmuls over the (N, N) reachability matrix —
-    instead of scatter/gather label propagation. The label is the minimum
-    reachable body index, identical to the DFS island numbering
-    (b2World.cpp:1207-1330) up to island naming.
+    For small N: a boolean transitive closure by repeated adjacency
+    squaring — log2(diameter) MXU matmuls over the (N, N) reachability
+    matrix — instead of scatter/gather label propagation. The label is the
+    minimum reachable body index, identical to the DFS island numbering
+    (b2World.cpp:1207-1330) up to island naming. Past ~1k bodies the N³
+    squarings lose to plain label propagation, which takes over.
     """
+    if n_bodies > 1024:
+        return _island_labels_propagate(n_bodies, edges_a, edges_b,
+                                        edge_active, body_connectable,
+                                        rounds)
     del rounds
     ea = jnp.clip(edges_a, 0, n_bodies - 1)
     eb = jnp.clip(edges_b, 0, n_bodies - 1)
@@ -65,6 +70,41 @@ def island_labels(n_bodies: int, edges_a, edges_b, edge_active, body_connectable
     # argmax over bool finds the FIRST set bit = min reachable body index
     labels = jnp.argmax(closure, axis=1).astype(jnp.int32)
     return jnp.where(body_connectable, labels, rng)
+
+
+def _island_labels_propagate(n_bodies, edges_a, edges_b, edge_active,
+                             body_connectable, rounds):
+    """Min-label propagation with pointer jumping — the large-N path."""
+    labels = jnp.arange(n_bodies, dtype=jnp.int32)
+    link = edge_active \
+        & gather_scalar(body_connectable.astype(jnp.int32),
+                        jnp.clip(edges_a, 0, n_bodies - 1)).astype(bool) \
+        & gather_scalar(body_connectable.astype(jnp.int32),
+                        jnp.clip(edges_b, 0, n_bodies - 1)).astype(bool)
+    ea = jnp.where(link, edges_a, 0)
+    eb = jnp.where(link, edges_b, 0)
+    e2 = jnp.concatenate([ea, eb])
+
+    def cond(carry):
+        r, labels, changed = carry
+        return (r < rounds) & changed
+
+    def body(carry):
+        r, labels, _ = carry
+        g = gather_scalar(labels, e2)
+        m = jnp.minimum(g[: ea.shape[0]], g[ea.shape[0]:])
+        m2 = jnp.where(jnp.concatenate([link, link]),
+                       jnp.concatenate([m, m]), BIGI)
+        mins = scatter_min_scalar(n_bodies, e2, m2, BIGI)
+        new = jnp.minimum(labels, mins)
+        # pointer jumping doubles propagation reach per round
+        new = gather_scalar(new, new)
+        new = gather_scalar(new, new)
+        return r + 1, new, jnp.any(new != labels)
+
+    _, labels, _ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), labels, jnp.bool_(True)))
+    return labels
 
 
 BIGI = jnp.iinfo(jnp.int32).max

@@ -484,8 +484,10 @@ def _solve_middle_b(states: State, pre: _PreSolve, dt,
     # (sub-chunks of a conflict-free set stay conflict-free, so Gauss-
     # Seidel semantics are exact and nothing is ever dropped). Pass COUNT
     # dominates cost (each pass is a fixed bundle of small kernels), so ck
-    # stays wide: passes ~= number of colors.
-    ck = min(nc, nb)
+    # stays wide: passes ~= number of colors. Capped for huge single
+    # worlds where a full-width pass would thrash (giant colors just take
+    # several passes).
+    ck = min(nc, nb, 2048)
     p_total = nc + max_colors * ck
     lane_ok = cc.active & (color >= 0)
     mc_iota = jnp.arange(max_colors)
