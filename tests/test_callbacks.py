@@ -96,10 +96,11 @@ def test_one_sided_platform_blocks_without_hook():
 
 def test_post_solve_impulses_reported():
     """Events.normal_impulse is the PostSolve analog: resting contact must
-    report impulse ~= weight * dt once settled."""
+    report impulse ~= weight * dt once settled. Sleep disabled — sleeping
+    islands don't solve and report no impulses (reference behavior)."""
     st = _sensor_scene()
     for _ in range(150):
-        st, ev = world.step(st, 1 / 60)
+        st, ev = world.step(st, 1 / 60, allow_sleep=False)
     ni = np.asarray(ev.normal_impulse)
     touching = np.asarray(ev.touching)
     total = ni[touching].sum()
