@@ -6,9 +6,6 @@ state is one pytree of arrays, so checkpointing is a direct serialization —
 the real equivalent of Dump/replay — and counts are mask sums.
 """
 
-import io
-import pickle
-
 import numpy as np
 
 import jax
@@ -42,30 +39,33 @@ def counts(state: State) -> dict:
 def save_state(state: State, path) -> None:
     """Checkpoint: serialize the full world state (the b2World::Dump
     equivalent — unlike the reference's code-emitting dump, this is exact:
-    warm-start impulses, sweeps, and sleep timers all round-trip)."""
-    leaves, treedef = jax.tree_util.tree_flatten(state)
-    payload = {"leaves": [np.asarray(x) for x in leaves]}
+    warm-start impulses, sweeps, and sleep timers all round-trip).
+
+    Format: np.savez of the flattened pytree leaves (arrays only — no
+    pickle, so an untrusted checkpoint cannot execute code on load)."""
+    leaves = jax.tree_util.tree_leaves(state)
+    arrays = {f"leaf_{i}": np.asarray(x) for i, x in enumerate(leaves)}
     if hasattr(path, "write"):
-        pickle.dump(payload, path)
+        np.savez(path, **arrays)
     else:
+        # open ourselves so the file lands exactly at `path` (np.savez
+        # appends ".npz" to bare string paths)
         with open(path, "wb") as f:
-            pickle.dump(payload, f)
+            np.savez(f, **arrays)
 
 
-def load_state(path, like: State = None) -> State:
-    """Restore a checkpoint written by save_state. `like` provides the
-    pytree structure (any state with the same capacities — e.g. the
-    freshly built scene); defaults to inferring from a saved structure."""
-    if hasattr(path, "read"):
-        payload = pickle.load(path)
-    else:
-        with open(path, "rb") as f:
-            payload = pickle.load(f)
+def load_state(path, like: State) -> State:
+    """Restore a checkpoint written by save_state. `like` is REQUIRED: it
+    provides the pytree structure (any state with the same capacities —
+    e.g. the freshly built scene). Uses np.load without pickle, so loading
+    an untrusted file cannot execute code."""
     assert like is not None, "pass `like=` a State with matching capacities"
+    with np.load(path, allow_pickle=False) as payload:
+        leaves = [payload[f"leaf_{i}"] for i in range(len(payload.files))]
     _, treedef = jax.tree_util.tree_flatten(like)
     import jax.numpy as jnp
     return jax.tree_util.tree_unflatten(
-        treedef, [jnp.asarray(x) for x in payload["leaves"]])
+        treedef, [jnp.asarray(x) for x in leaves])
 
 
 def dump(state: State) -> str:

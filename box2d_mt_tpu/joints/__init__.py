@@ -74,60 +74,85 @@ def make_empty_joints() -> st.Joints:
     )
 
 
-def _pack(cls, defs, scalar_defaults):
-    """Pack a list of joint-def dicts into a typed block."""
+def _pack(cls, defs, scalar_defaults, capacity=0):
+    """Pack a list of joint-def dicts into a typed block, padded to
+    `capacity` inactive slots for runtime joint creation
+    (mutate.add_*_joint — the b2World::CreateJoint analog)."""
     n = len(defs)
-    if n == 0:
+    cap = max(n, capacity)
+    if cap == 0:
         return _empty(cls, _fields2(cls), _fields3(cls))
     kw = {}
     f2 = _fields2(cls)
     f3 = _fields3(cls)
+
+    def padded(vals, dtype, width=0):
+        a = np.zeros((cap,) + ((width,) if width else ()), dtype)
+        if n:
+            a[:n] = vals
+        return jnp.asarray(a)
+
     for f in cls.__dataclass_fields__:
         if f == "active":
-            kw[f] = jnp.ones(n, bool)
+            kw[f] = padded([True] * n, bool)
         elif f in ("collide_connected", "enable_limit", "enable_motor"):
-            kw[f] = jnp.asarray([bool(d.get(f, False)) for d in defs])
+            kw[f] = padded([bool(d.get(f, False)) for d in defs], bool)
         elif f in ("body_a", "body_b", "body_c", "body_d", "joint1_type",
                    "joint1_index", "joint2_type", "joint2_index",
                    "limit_state"):
-            kw[f] = jnp.asarray([int(d.get(f, 0)) for d in defs], jnp.int32)
+            kw[f] = padded([int(d.get(f, 0)) for d in defs], np.int32)
         elif f in f3:
-            kw[f] = jnp.zeros((n, 3), jnp.float32)
+            kw[f] = jnp.zeros((cap, 3), jnp.float32)
         elif f in f2:
             if f.endswith("impulse"):
-                kw[f] = jnp.zeros((n, 2), jnp.float32)
+                kw[f] = jnp.zeros((cap, 2), jnp.float32)
             else:
-                kw[f] = jnp.asarray([d.get(f, (0.0, 0.0)) for d in defs], jnp.float32)
+                kw[f] = padded([d.get(f, (0.0, 0.0)) for d in defs],
+                               np.float32, width=2)
         elif f.endswith("impulse"):
-            kw[f] = jnp.zeros(n, jnp.float32)
+            kw[f] = jnp.zeros(cap, jnp.float32)
         else:
-            kw[f] = jnp.asarray(
+            kw[f] = padded(
                 [float(d.get(f, scalar_defaults.get(f, 0.0))) for d in defs],
-                jnp.float32)
+                np.float32)
     return cls(**kw)
 
 
-def build_joints(joint_defs: dict) -> st.Joints:
-    empty = make_empty_joints()
+def build_joints(joint_defs: dict, joint_capacity: dict = None) -> st.Joints:
     supported = {"revolute", "distance", "prismatic", "mouse", "weld",
                  "friction", "rope", "motor", "wheel", "pulley", "gear"}
     unknown = set(joint_defs) - supported
     if unknown:
         raise ValueError(f"unknown joint kinds: {unknown}")
+    cap = joint_capacity or {}
+    unknown_cap = set(cap) - supported
+    if unknown_cap:
+        raise ValueError(f"unknown joint kinds in capacity: {unknown_cap}")
+
+    def c(k):
+        return int(cap.get(k, 0))
+
     return st.Joints(
-        revolute=_pack(st.RevoluteJoints, joint_defs.get("revolute", []), {}),
-        distance=_pack(st.DistanceJoints, joint_defs.get("distance", []), {}),
-        prismatic=_pack(st.PrismaticJoints, joint_defs.get("prismatic", []), {}),
-        mouse=_pack(st.MouseJoints, joint_defs.get("mouse", []), {}),
-        weld=_pack(st.WeldJoints, joint_defs.get("weld", []), {}),
-        friction=_pack(st.FrictionJoints, joint_defs.get("friction", []), {}),
-        rope=_pack(st.RopeJoints, joint_defs.get("rope", []), {}),
+        revolute=_pack(st.RevoluteJoints, joint_defs.get("revolute", []), {},
+                       c("revolute")),
+        distance=_pack(st.DistanceJoints, joint_defs.get("distance", []), {},
+                       c("distance")),
+        prismatic=_pack(st.PrismaticJoints, joint_defs.get("prismatic", []),
+                        {}, c("prismatic")),
+        mouse=_pack(st.MouseJoints, joint_defs.get("mouse", []), {},
+                    c("mouse")),
+        weld=_pack(st.WeldJoints, joint_defs.get("weld", []), {}, c("weld")),
+        friction=_pack(st.FrictionJoints, joint_defs.get("friction", []), {},
+                       c("friction")),
+        rope=_pack(st.RopeJoints, joint_defs.get("rope", []), {}, c("rope")),
         motor=_pack(st.MotorJoints, joint_defs.get("motor", []),
-                    {"correction_factor": 0.3}),
-        wheel=_pack(st.WheelJoints, joint_defs.get("wheel", []), {}),
+                    {"correction_factor": 0.3}, c("motor")),
+        wheel=_pack(st.WheelJoints, joint_defs.get("wheel", []), {},
+                    c("wheel")),
         pulley=_pack(st.PulleyJoints, joint_defs.get("pulley", []),
-                     {"ratio": 1.0}),
-        gear=_pack(st.GearJoints, joint_defs.get("gear", []), {"ratio": 1.0}),
+                     {"ratio": 1.0}, c("pulley")),
+        gear=_pack(st.GearJoints, joint_defs.get("gear", []), {"ratio": 1.0},
+                   c("gear")),
     )
 
 

@@ -180,6 +180,88 @@ def set_gravity_scale(state: State, body, value) -> State:
             jnp.float32(value)))
 
 
+def set_friction(state: State, fixture, value) -> State:
+    """b2Fixture::SetFriction (b2Fixture.h:187-194). The solver re-mixes
+    contact friction from the fixtures every step, so this takes effect on
+    existing contacts immediately (the reference requires
+    b2Contact::ResetFriction for that; here it is automatic)."""
+    fx = state.fixtures
+    return dataclasses.replace(
+        state, fixtures=dataclasses.replace(
+            fx, friction=fx.friction.at[fixture].set(jnp.float32(value))))
+
+
+def set_restitution(state: State, fixture, value) -> State:
+    """b2Fixture::SetRestitution (b2Fixture.h:326-340); re-mixed per step
+    like set_friction."""
+    fx = state.fixtures
+    return dataclasses.replace(
+        state, fixtures=dataclasses.replace(
+            fx, restitution=fx.restitution.at[fixture].set(
+                jnp.float32(value))))
+
+
+def set_density(state: State, fixture, value) -> State:
+    """b2Fixture::SetDensity + b2Body::ResetMassData (the reference requires
+    the explicit ResetMassData call; here it is performed immediately)."""
+    fx = state.fixtures
+    state = dataclasses.replace(
+        state, fixtures=dataclasses.replace(
+            fx, density=fx.density.at[fixture].set(jnp.float32(value))))
+    return _reset_mass_data(state, state.fixtures.body[fixture])
+
+
+def _contact_slot(state: State, fixture_a, fixture_b):
+    """Locate the contact slot holding the canonical (fixture_a, fixture_b)
+    pair; returns (slot, found). Works between steps on the persistent pair
+    table."""
+    c = state.contacts
+    lo = jnp.minimum(jnp.asarray(fixture_a), jnp.asarray(fixture_b))
+    hi = jnp.maximum(jnp.asarray(fixture_a), jnp.asarray(fixture_b))
+    slot_lo = jnp.minimum(c.f_a, c.f_b)
+    slot_hi = jnp.maximum(c.f_a, c.f_b)
+    hit = (slot_lo == lo) & (slot_hi == hi) & (c.f_a >= 0)
+    return jnp.argmax(hit).astype(jnp.int32), jnp.any(hit)
+
+
+def set_contact_tangent_speed(state: State, fixture_a, fixture_b,
+                              speed) -> State:
+    """b2Contact::SetTangentSpeed (b2Contact.h:157): conveyor-belt surface
+    speed in m/s along the contact tangent. Persists for the life of the
+    pair; no-op if the fixtures currently share no contact slot."""
+    slot, found = _contact_slot(state, fixture_a, fixture_b)
+    c = state.contacts
+    val = jnp.where(found, jnp.float32(speed), c.tangent_speed[slot])
+    return dataclasses.replace(
+        state, contacts=dataclasses.replace(
+            c, tangent_speed=c.tangent_speed.at[slot].set(val)))
+
+
+def set_contact_friction(state: State, fixture_a, fixture_b,
+                         value=None) -> State:
+    """b2Contact::SetFriction / ResetFriction (b2Contact.h:126-141):
+    value=None restores the default fixture mixing."""
+    slot, found = _contact_slot(state, fixture_a, fixture_b)
+    c = state.contacts
+    v = jnp.float32(-1.0 if value is None else value)
+    val = jnp.where(found, v, c.friction_override[slot])
+    return dataclasses.replace(
+        state, contacts=dataclasses.replace(
+            c, friction_override=c.friction_override.at[slot].set(val)))
+
+
+def set_contact_restitution(state: State, fixture_a, fixture_b,
+                            value=None) -> State:
+    """b2Contact::SetRestitution / ResetRestitution (b2Contact.h:143-150)."""
+    slot, found = _contact_slot(state, fixture_a, fixture_b)
+    c = state.contacts
+    v = jnp.float32(-1.0 if value is None else value)
+    val = jnp.where(found, v, c.restitution_override[slot])
+    return dataclasses.replace(
+        state, contacts=dataclasses.replace(
+            c, restitution_override=c.restitution_override.at[slot].set(val)))
+
+
 def set_sensor(state: State, fixture, flag: bool) -> State:
     """b2Fixture::SetSensor."""
     fx = state.fixtures
@@ -505,6 +587,312 @@ def remove_body(state: State, body) -> State:
         state = dataclasses.replace(
             state, joints=dataclasses.replace(joints, **upd))
     return state
+
+
+# --------------------------------------------------------------------------
+# runtime joint creation — b2World::CreateJoint (b2World.cpp:679-832) into
+# preallocated per-type capacity slots (WorldBuilder.freeze(joint_capacity=
+# {...})). Anchors are resolved against the bodies' CURRENT transforms on
+# device, exactly like the reference joint Initialize() helpers.
+# --------------------------------------------------------------------------
+
+
+def _body_origin_q(b, body):
+    q = rot_from_angle(b.a[body])
+    origin = b.c[body] - rot_vec(q, b.local_center[body])
+    return origin, q
+
+
+def _local_point(b, body, world_point):
+    """b2Body::GetLocalPoint at the current transform."""
+    origin, q = _body_origin_q(b, body)
+    d = jnp.asarray(world_point, jnp.float32) - origin
+    s, c = q[0], q[1]
+    return jnp.stack([c * d[0] + s * d[1], -s * d[0] + c * d[1]])
+
+
+def _local_vector(b, body, world_vec):
+    """b2Body::GetLocalVector at the current transform."""
+    q = rot_from_angle(b.a[body])
+    v = jnp.asarray(world_vec, jnp.float32)
+    s, c = q[0], q[1]
+    return jnp.stack([c * v[0] + s * v[1], -s * v[0] + c * v[1]])
+
+
+def _joint_add(state: State, kind: str, fields: dict):
+    """Write a new joint into the first inactive slot of its typed block.
+    Returns (state, index); index == -1 when the block is full. Sets
+    pairs_dirty so collide_connected filtering applies at the next step
+    (the reference updates contact filter flags on CreateJoint,
+    b2World.cpp:796-812)."""
+    blk = getattr(state.joints, kind)
+    if blk.body_a.shape[0] == 0:
+        raise ValueError(
+            f"no '{kind}' joint slots: build the world with "
+            f"freeze(joint_capacity={{'{kind}': n}}) to enable runtime "
+            f"creation")
+    free = ~blk.active
+    idx = jnp.argmax(free).astype(jnp.int32)
+    ok = free[idx]
+    upd = {}
+    for name, val in fields.items():
+        arr = getattr(blk, name)
+        val = jnp.asarray(val, arr.dtype)
+        upd[name] = arr.at[idx].set(jnp.where(ok, val, arr[idx]))
+    # fresh slots start with zero accumulated impulses + inactive limit
+    for name in blk.__dataclass_fields__:
+        if name.endswith("impulse") or name == "limit_state":
+            arr = getattr(blk, name)
+            upd[name] = arr.at[idx].set(
+                jnp.where(ok, jnp.zeros_like(arr[idx]), arr[idx]))
+    upd["active"] = blk.active.at[idx].set(ok | blk.active[idx])
+    blk = dataclasses.replace(blk, **upd)
+    state = dataclasses.replace(
+        state, joints=dataclasses.replace(state.joints, **{kind: blk}),
+        pairs_dirty=jnp.asarray(True))
+    return state, jnp.where(ok, idx, -1)
+
+
+def add_revolute_joint(state: State, body_a, body_b, anchor, *,
+                       collide_connected=False, enable_limit=False,
+                       lower_angle=0.0, upper_angle=0.0, enable_motor=False,
+                       motor_speed=0.0, max_motor_torque=0.0,
+                       reference_angle=None):
+    """b2RevoluteJointDef::Initialize at the current body transforms."""
+    b = state.bodies
+    if reference_angle is None:
+        reference_angle = b.a[body_b] - b.a[body_a]
+    return _joint_add(state, "revolute", dict(
+        body_a=body_a, body_b=body_b,
+        local_anchor_a=_local_point(b, body_a, anchor),
+        local_anchor_b=_local_point(b, body_b, anchor),
+        reference_angle=reference_angle,
+        collide_connected=collide_connected, enable_limit=enable_limit,
+        lower_angle=lower_angle, upper_angle=upper_angle,
+        enable_motor=enable_motor, motor_speed=motor_speed,
+        max_motor_torque=max_motor_torque))
+
+
+def add_distance_joint(state: State, body_a, body_b, anchor_a, anchor_b, *,
+                       collide_connected=False, frequency=0.0,
+                       damping_ratio=0.0, length=None):
+    """b2DistanceJointDef::Initialize at the current body transforms."""
+    b = state.bodies
+    if length is None:
+        d = (jnp.asarray(anchor_b, jnp.float32)
+             - jnp.asarray(anchor_a, jnp.float32))
+        length = jnp.sqrt(jnp.sum(d * d))
+    length = jnp.maximum(jnp.asarray(length, jnp.float32),
+                         settings.LINEAR_SLOP)
+    return _joint_add(state, "distance", dict(
+        body_a=body_a, body_b=body_b,
+        local_anchor_a=_local_point(b, body_a, anchor_a),
+        local_anchor_b=_local_point(b, body_b, anchor_b),
+        length=length, frequency=frequency, damping_ratio=damping_ratio,
+        collide_connected=collide_connected))
+
+
+def add_prismatic_joint(state: State, body_a, body_b, anchor, axis, *,
+                        collide_connected=False, enable_limit=False,
+                        lower_translation=0.0, upper_translation=0.0,
+                        enable_motor=False, motor_speed=0.0,
+                        max_motor_force=0.0, reference_angle=None):
+    b = state.bodies
+    if reference_angle is None:
+        reference_angle = b.a[body_b] - b.a[body_a]
+    return _joint_add(state, "prismatic", dict(
+        body_a=body_a, body_b=body_b,
+        local_anchor_a=_local_point(b, body_a, anchor),
+        local_anchor_b=_local_point(b, body_b, anchor),
+        local_axis_a=_local_vector(b, body_a, axis),
+        reference_angle=reference_angle,
+        collide_connected=collide_connected, enable_limit=enable_limit,
+        lower_translation=lower_translation,
+        upper_translation=upper_translation, enable_motor=enable_motor,
+        motor_speed=motor_speed, max_motor_force=max_motor_force))
+
+
+def add_weld_joint(state: State, body_a, body_b, anchor, *,
+                   collide_connected=False, frequency=0.0,
+                   damping_ratio=0.0, reference_angle=None):
+    b = state.bodies
+    if reference_angle is None:
+        reference_angle = b.a[body_b] - b.a[body_a]
+    return _joint_add(state, "weld", dict(
+        body_a=body_a, body_b=body_b,
+        local_anchor_a=_local_point(b, body_a, anchor),
+        local_anchor_b=_local_point(b, body_b, anchor),
+        reference_angle=reference_angle, frequency=frequency,
+        damping_ratio=damping_ratio, collide_connected=collide_connected))
+
+
+def add_friction_joint(state: State, body_a, body_b, anchor, *,
+                       collide_connected=False, max_force=0.0,
+                       max_torque=0.0):
+    b = state.bodies
+    return _joint_add(state, "friction", dict(
+        body_a=body_a, body_b=body_b,
+        local_anchor_a=_local_point(b, body_a, anchor),
+        local_anchor_b=_local_point(b, body_b, anchor),
+        max_force=max_force, max_torque=max_torque,
+        collide_connected=collide_connected))
+
+
+def add_rope_joint(state: State, body_a, body_b, local_anchor_a,
+                   local_anchor_b, max_length, *, collide_connected=False):
+    return _joint_add(state, "rope", dict(
+        body_a=body_a, body_b=body_b,
+        local_anchor_a=jnp.asarray(local_anchor_a, jnp.float32),
+        local_anchor_b=jnp.asarray(local_anchor_b, jnp.float32),
+        max_length=max_length, collide_connected=collide_connected))
+
+
+def add_motor_joint(state: State, body_a, body_b, *,
+                    collide_connected=False, max_force=1.0, max_torque=1.0,
+                    correction_factor=0.3, linear_offset=None,
+                    angular_offset=None):
+    """b2MotorJointDef::Initialize: defaults = current relative transform."""
+    b = state.bodies
+    if linear_offset is None:
+        origin_b, _ = _body_origin_q(b, body_b)
+        linear_offset = _local_point(b, body_a, origin_b)
+    if angular_offset is None:
+        angular_offset = b.a[body_b] - b.a[body_a]
+    return _joint_add(state, "motor", dict(
+        body_a=body_a, body_b=body_b,
+        linear_offset=jnp.asarray(linear_offset, jnp.float32),
+        angular_offset=angular_offset, max_force=max_force,
+        max_torque=max_torque, correction_factor=correction_factor,
+        collide_connected=collide_connected))
+
+
+def add_mouse_joint(state: State, body_b, target, *, max_force=0.0,
+                    frequency=5.0, damping_ratio=0.7):
+    """b2MouseJoint creation mid-run (the interactive-drag idiom). Wakes
+    the dragged body (the testbed does SetAwake on pick)."""
+    b = state.bodies
+    state = set_awake(state, body_b, True)
+    return _joint_add(state, "mouse", dict(
+        body_a=body_b, body_b=body_b,
+        target=jnp.asarray(target, jnp.float32),
+        local_anchor_b=_local_point(state.bodies, body_b, target),
+        max_force=max_force, frequency=frequency,
+        damping_ratio=damping_ratio, collide_connected=True))
+
+
+def add_wheel_joint(state: State, body_a, body_b, anchor, axis, *,
+                    collide_connected=False, enable_motor=False,
+                    motor_speed=0.0, max_motor_torque=0.0, frequency=2.0,
+                    damping_ratio=0.7):
+    b = state.bodies
+    return _joint_add(state, "wheel", dict(
+        body_a=body_a, body_b=body_b,
+        local_anchor_a=_local_point(b, body_a, anchor),
+        local_anchor_b=_local_point(b, body_b, anchor),
+        local_axis_a=_local_vector(b, body_a, axis),
+        enable_motor=enable_motor, motor_speed=motor_speed,
+        max_motor_torque=max_motor_torque, frequency=frequency,
+        damping_ratio=damping_ratio, collide_connected=collide_connected))
+
+
+def add_pulley_joint(state: State, body_a, body_b, ground_anchor_a,
+                     ground_anchor_b, anchor_a, anchor_b, ratio=1.0, *,
+                     collide_connected=True):
+    b = state.bodies
+    ga = jnp.asarray(ground_anchor_a, jnp.float32)
+    gb = jnp.asarray(ground_anchor_b, jnp.float32)
+    aa = jnp.asarray(anchor_a, jnp.float32)
+    ab = jnp.asarray(anchor_b, jnp.float32)
+    la = jnp.sqrt(jnp.sum((aa - ga) ** 2))
+    lb = jnp.sqrt(jnp.sum((ab - gb) ** 2))
+    return _joint_add(state, "pulley", dict(
+        body_a=body_a, body_b=body_b, ground_anchor_a=ga, ground_anchor_b=gb,
+        local_anchor_a=_local_point(b, body_a, aa),
+        local_anchor_b=_local_point(b, body_b, ab),
+        length_a=la, length_b=lb, ratio=ratio,
+        collide_connected=collide_connected))
+
+
+def _gear_coordinate_device(state, jtype, jindex):
+    """Current gear coordinate + geometry of one coupled joint
+    (b2GearJoint.cpp:70-123, evaluated at current transforms)."""
+    b = state.bodies
+    rev = state.joints.revolute
+    pri = state.joints.prismatic
+    is_rev = jtype == 0
+    ir = jnp.clip(jindex, 0, max(rev.body_a.shape[0] - 1, 0))
+    ip = jnp.clip(jindex, 0, max(pri.body_a.shape[0] - 1, 0))
+
+    def pick(fr, fp):
+        return jnp.where(is_rev, fr, fp)
+
+    body_aj = pick(rev.body_a[ir] if rev.body_a.shape[0] else 0,
+                   pri.body_a[ip] if pri.body_a.shape[0] else 0)
+    body_bj = pick(rev.body_b[ir] if rev.body_a.shape[0] else 0,
+                   pri.body_b[ip] if pri.body_a.shape[0] else 0)
+    z2 = jnp.zeros(2, jnp.float32)
+    anc_a = jnp.where(is_rev,
+                      rev.local_anchor_a[ir] if rev.body_a.shape[0] else z2,
+                      pri.local_anchor_a[ip] if pri.body_a.shape[0] else z2)
+    anc_b = jnp.where(is_rev,
+                      rev.local_anchor_b[ir] if rev.body_a.shape[0] else z2,
+                      pri.local_anchor_b[ip] if pri.body_a.shape[0] else z2)
+    ref = jnp.where(is_rev,
+                    rev.reference_angle[ir] if rev.body_a.shape[0] else 0.0,
+                    pri.reference_angle[ip] if pri.body_a.shape[0] else 0.0)
+    axis = jnp.where(is_rev, z2,
+                     pri.local_axis_a[ip] if pri.body_a.shape[0] else z2)
+
+    # revolute coordinate: aB - aA - ref; prismatic: dot(pB_in_A - anchorA,
+    # axisA), evaluated like the reference ctor against current transforms
+    coord_rev = b.a[body_bj] - b.a[body_aj] - ref
+    origin_a, qa = _body_origin_q(b, body_aj)
+    origin_b, qb = _body_origin_q(b, body_bj)
+    w = rot_vec(qb, anc_b) + origin_b - origin_a
+    s, c = qa[0], qa[1]
+    p_in_a = jnp.stack([c * w[0] + s * w[1], -s * w[0] + c * w[1]])
+    coord_pri = jnp.sum((p_in_a - anc_a) * axis)
+    coord = jnp.where(is_rev, coord_rev, coord_pri)
+    return coord, dict(body_a=body_aj, body_b=body_bj, anchor_a=anc_a,
+                       anchor_b=anc_b, ref=ref, axis=axis)
+
+
+def add_gear_joint(state: State, joint1, joint2, ratio=1.0, *,
+                   collide_connected=False):
+    """b2GearJoint creation mid-run. joint1/joint2 are ("revolute" |
+    "prismatic", index) references to existing joints (as with
+    WorldBuilder.create_gear_joint)."""
+    kind1, i1 = joint1
+    kind2, i2 = joint2
+    t1 = 0 if kind1 == "revolute" else 1
+    t2 = 0 if kind2 == "revolute" else 1
+    coord1, g1 = _gear_coordinate_device(state, jnp.int32(t1),
+                                         jnp.asarray(i1, jnp.int32))
+    coord2, g2 = _gear_coordinate_device(state, jnp.int32(t2),
+                                         jnp.asarray(i2, jnp.int32))
+    ratio = jnp.asarray(ratio, jnp.float32)
+    return _joint_add(state, "gear", dict(
+        body_a=g1["body_b"], body_b=g2["body_b"],
+        body_c=g1["body_a"], body_d=g2["body_a"],
+        joint1_type=t1, joint1_index=i1, joint2_type=t2, joint2_index=i2,
+        local_anchor_a=g1["anchor_b"], local_anchor_c=g1["anchor_a"],
+        local_anchor_b=g2["anchor_b"], local_anchor_d=g2["anchor_a"],
+        local_axis_c=g1["axis"], local_axis_d=g2["axis"],
+        reference_angle_a=g1["ref"], reference_angle_b=g2["ref"],
+        ratio=ratio, constant=coord1 + ratio * coord2,
+        collide_connected=collide_connected))
+
+
+def set_mouse_target(state: State, index, target) -> State:
+    """b2MouseJoint::SetTarget (b2MouseJoint.h:77): move the drag target
+    between steps; wakes the dragged body."""
+    mj = state.joints.mouse
+    target = jnp.asarray(target, jnp.float32)
+    joints = dataclasses.replace(
+        state.joints,
+        mouse=dataclasses.replace(mj, target=mj.target.at[index].set(target)))
+    state = dataclasses.replace(state, joints=joints)
+    return set_awake(state, mj.body_b[index], True)
 
 
 def remove_joint(state: State, kind: str, index) -> State:

@@ -111,11 +111,16 @@ def should_collide_filters(group_i, group_j, cat_i, cat_j, mask_i, mask_j):
     return jnp.where(same_group, group_ok, mask_ok)
 
 
-def find_pairs_allpairs(state: State, capacity: int):
+def find_pairs_allpairs(state: State, capacity: int, filter_fn=None):
     """Dense upper-triangular overlap test over fat AABBs + filtering.
 
     Returns (f_a, f_b) role-ordered fixture indices of up to `capacity`
     pairs in canonical sorted-key order, plus an overflow count.
+
+    `filter_fn(state, fi, fj) -> bool` is the custom contact-filter hook
+    (b2ContactFilter::ShouldCollide override, b2WorldCallbacks.h:52-62):
+    traced into pair admission on broadcastable fixture-index arrays;
+    False vetoes the pair on top of the built-in filters.
     """
     from .narrowphase import needs_swap
 
@@ -169,6 +174,12 @@ def find_pairs_allpairs(state: State, capacity: int):
     tb = jnp.where(swap, ti, tj)
     pair_ok &= contact_kind(ta, tb) != 5  # KIND_INVALID
 
+    # user contact-filter hook (b2ContactFilter::ShouldCollide override)
+    if filter_fn is not None:
+        gi = jnp.broadcast_to(ii[:, None], (nf, nf))
+        gj = jnp.broadcast_to(ii[None, :], (nf, nf))
+        pair_ok &= filter_fn(state, gi, gj)
+
     # extract up to `capacity` set bits in row-major (= canonical key) order:
     # top_k over negated flat indices — far cheaper than nonzero under vmap
     flat = pair_ok.ravel()
@@ -190,10 +201,11 @@ def find_pairs_allpairs(state: State, capacity: int):
     return f_a, f_b, overflow
 
 
-def _pair_allowed_idx(state: State, fi, fj):
+def _pair_allowed_idx(state: State, fi, fj, filter_fn=None):
     """Pair admissibility for (M,) candidate index arrays — the same rules
     the dense all-pairs masks apply (same body, joint collideConnected,
-    category/mask/group filters, ≥1 dynamic, enabled, registered kind)."""
+    category/mask/group filters, ≥1 dynamic, enabled, registered kind,
+    optional user filter hook)."""
     from .narrowphase import contact_kind, needs_swap
 
     fx = state.fixtures
@@ -225,11 +237,13 @@ def _pair_allowed_idx(state: State, fi, fj):
     swap = needs_swap(ti, tj)
     ok &= contact_kind(jnp.where(swap, tj, ti),
                        jnp.where(swap, ti, tj)) != 5  # KIND_INVALID
+    if filter_fn is not None:
+        ok &= filter_fn(state, fic, fjc)
     return ok
 
 
-def find_pairs_grid(state: State, capacity: int, cell_slots: int = 16,
-                    large_cap: int = 16):
+def find_pairs_grid(state: State, capacity: int, cell_slots: int = 32,
+                    large_cap: int = 16, filter_fn=None):
     """Uniform-grid-hash pair finder for large fixture counts — the TPU
     analog of b2DynamicTreeOfTrees' sparse grid of sub-trees
     (Box2D/MT/b2DynamicTreeOfTrees.h:30-46). O(F · cell_slots) instead of
@@ -237,8 +251,9 @@ def find_pairs_grid(state: State, capacity: int, cell_slots: int = 16,
     (canonical sorted-key order, role-ordered, overflow count).
 
     Mechanics: cell size = 1.5x the median fat-AABB extent (a dense pile
-    of median-size boxes then puts ~9 fixtures in a cell, under the
-    16-slot default); fixtures larger
+    of median-size boxes then puts ~9 fixtures in a cell, comfortably
+    under the 32-slot default even when two dense cells hash-collide into
+    one bucket); fixtures larger
     than a cell (grounds, walls — at most `large_cap`) pair densely against
     everyone; each small fixture covers ≤ 2x2 cells, cells hash into
     next_pow2(2F) buckets holding ≤ cell_slots fixtures. A candidate pair
@@ -283,6 +298,21 @@ def find_pairs_grid(state: State, capacity: int, cell_slots: int = 16,
 
     bkt = bucket_of(cxs, cys)                            # (F,4)
     entry_on = is_small[:, None] & ~dup                  # (F,4)
+    # entry dedup: two DISTINCT covered cells can hash to the same bucket;
+    # inserting the fixture twice there both wastes slots and used to make
+    # queries emit the same pair twice. Keep only the first entry per
+    # (fixture, bucket) — queries are unaffected because an occupant entry
+    # carries no cell identity (own_cell keys on the QUERYING fixture's
+    # cell, which both fixtures of an overlap necessarily cover).
+    eon = entry_on
+    entry_on = eon & ~jnp.stack([
+        jnp.zeros(nf, bool),
+        eon[:, 0] & (bkt[:, 1] == bkt[:, 0]),
+        (eon[:, 0] & (bkt[:, 2] == bkt[:, 0]))
+        | (eon[:, 1] & (bkt[:, 2] == bkt[:, 1])),
+        (eon[:, 0] & (bkt[:, 3] == bkt[:, 0]))
+        | (eon[:, 1] & (bkt[:, 3] == bkt[:, 1]))
+        | (eon[:, 2] & (bkt[:, 3] == bkt[:, 2]))], axis=1)
     ekey = jnp.where(entry_on, bkt, n_buckets).reshape(-1)   # (4F,)
     eorder = jnp.argsort(ekey, stable=True)
     sk = ekey[eorder]
@@ -337,7 +367,7 @@ def find_pairs_grid(state: State, capacity: int, cell_slots: int = 16,
     cand_j = jnp.concatenate([grid_j, l_j])
     cand_ok = jnp.concatenate([grid_ok, l_ok])
     cand_ok &= _pair_allowed_idx(state, jnp.where(cand_ok, cand_i, -1),
-                                 jnp.where(cand_ok, cand_j, -1))
+                                 jnp.where(cand_ok, cand_j, -1), filter_fn)
 
     # ---- canonical sorted-key extraction (same contract as all-pairs);
     # uint32 keys support up to 65535 fixture slots
@@ -346,7 +376,15 @@ def find_pairs_grid(state: State, capacity: int, cell_slots: int = 16,
                     cand_i.astype(jnp.uint32) * jnp.uint32(nf)
                     + cand_j.astype(jnp.uint32), big)
     skey = jnp.sort(key)
-    n_found = jnp.sum(cand_ok)
+    # dedupe: a fixture inserts one bucket entry per covered cell, and two
+    # of its cells can hash to the same bucket — own_cell then passes the
+    # same pair twice. carry_over_contacts assumes unique keys (its one-hot
+    # matmul would sum duplicate rows), so invalidate sorted duplicates and
+    # re-sort the sentinels to the tail.
+    dup = jnp.concatenate(
+        [jnp.zeros(1, bool), (skey[1:] == skey[:-1]) & (skey[1:] < big)])
+    skey = jnp.sort(jnp.where(dup, big, skey))
+    n_found = jnp.sum(skey < big)
     pick = skey[:capacity]
     valid = pick < big
     i_sel = jnp.where(valid, pick // nf, 0).astype(jnp.int32)
@@ -366,12 +404,13 @@ def find_pairs_grid(state: State, capacity: int, cell_slots: int = 16,
 GRID_THRESHOLD = 1024
 
 
-def find_pairs(state: State, capacity: int):
+def find_pairs(state: State, capacity: int, filter_fn=None):
     """Strategy dispatch: dense all-pairs for small worlds, grid hash for
-    large ones. Both produce identical canonical pair tables."""
+    large ones. Both produce identical canonical pair tables and both
+    consult the optional `filter_fn` contact-filter hook."""
     if state.fixtures.capacity <= GRID_THRESHOLD:
-        return find_pairs_allpairs(state, capacity)
-    return find_pairs_grid(state, capacity)
+        return find_pairs_allpairs(state, capacity, filter_fn)
+    return find_pairs_grid(state, capacity, filter_fn=filter_fn)
 
 
 def carry_over_contacts(old, f_a, f_b, nf: int):
@@ -397,7 +436,9 @@ def carry_over_contacts(old, f_a, f_b, nf: int):
     mf = m.astype(jnp.float32)
 
     # m_ids are 32-bit packed feature keys — split into two f32-exact
-    # 16-bit halves for the matmul transfer
+    # 16-bit halves for the matmul transfer. The material overrides ride
+    # shifted by +1 so unmatched (new) pairs land at their -1 "unset"
+    # default after the matmul zeros them.
     ids_lo = (old.m_ids & 0xFFFF).astype(jnp.float32)
     ids_hi = ((old.m_ids >> 16) & 0xFFFF).astype(jnp.float32)
     blob = jnp.concatenate([
@@ -408,7 +449,10 @@ def carry_over_contacts(old, f_a, f_b, nf: int):
         old.normal_impulse, old.tangent_impulse,
         old.touching.astype(jnp.float32)[:, None],
         ids_lo, ids_hi,
-    ], axis=1)                                           # (C, 19)
+        old.tangent_speed[:, None],
+        (old.friction_override + 1.0)[:, None],
+        (old.restitution_override + 1.0)[:, None],
+    ], axis=1)                                           # (C, 22)
     g = jnp.matmul(mf, blob, precision=jax.lax.Precision.HIGHEST)
 
     ids = (g[:, 15:17].astype(jnp.int32)
@@ -426,4 +470,7 @@ def carry_over_contacts(old, f_a, f_b, nf: int):
         tangent_impulse=g[:, 12:14],
         touching=g[:, 14] > 0.5,
         toi_count=jnp.zeros_like(f_a, jnp.int32),
+        tangent_speed=g[:, 19],
+        friction_override=g[:, 20] - 1.0,
+        restitution_override=g[:, 21] - 1.0,
     )

@@ -578,7 +578,10 @@ def time_of_impact(verts_a, count_a, radius_a, lc_a, c0_a, c_a, a0_a, a_a,
 
     def outer_cond(carry):
         k, (_, _, _, done, _) = carry
-        return (k < 10) & ~done
+        # reference conservative-advancement outer cap (b2TimeOfImpact.cpp
+        # k_maxIterations = 20); unconverged lanes cost nothing extra under
+        # the while_loop once their `done` flag is set
+        return (k < 20) & ~done
 
     def outer_body(carry):
         k, c = carry

@@ -285,7 +285,9 @@ def _kernel(sblob_ref, vax_ref, vay_ref, vbx_ref, vby_ref, out_ref):
 
         def cond(carry):
             it, done_i = carry[0], carry[-1]
-            return (it < 12) & jnp.any(done_i == 0)
+            # aligned with distance.py's GJK cap (reference b2Distance
+            # k_maxIters = 20) so XLA and Pallas lanes converge identically
+            return (it < 20) & jnp.any(done_i == 0)
 
         zb = jnp.zeros((1, lb), jnp.float32)
         init = (jnp.int32(0), wax_s, way_s, wbx_s, wby_s, cia, cib,
@@ -512,7 +514,8 @@ def _kernel(sblob_ref, vax_ref, vay_ref, vbx_ref, vby_ref, out_ref):
 
     def outer_cond(carry):
         it, done_i = carry[0], carry[4]
-        return (it < 10) & jnp.any(done_i == 0)
+        # reference outer cap 20 (b2TimeOfImpact.cpp), same as distance.py
+        return (it < 20) & jnp.any(done_i == 0)
 
     done0 = (~active).astype(jnp.int32)
     init = (jnp.int32(0), zb, jnp.full((1, lb), TOI_UNKNOWN, jnp.int32),

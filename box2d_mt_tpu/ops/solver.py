@@ -127,8 +127,14 @@ def init_contact_constraints(contacts, fx, bodies, c_pos, a_pos, v, w,
     bab = fg[:, 3].astype(jnp.int32)
     ba, bb = bab[:n_c], bab[n_c:]
 
+    # default mixing (b2Contact.h:40-50) with per-contact overrides
+    # (b2Contact::SetFriction/SetRestitution, b2Contact.h:126-150)
     friction = jnp.sqrt(fg[:n_c, 0] * fg[n_c:, 0])
+    friction = jnp.where(contacts.friction_override >= 0.0,
+                         contacts.friction_override, friction)
     restitution = jnp.maximum(fg[:n_c, 1], fg[n_c:, 1])
+    restitution = jnp.where(contacts.restitution_override >= 0.0,
+                            contacts.restitution_override, restitution)
     ra_shape = fg[:n_c, 2]
     rb_shape = fg[n_c:, 2]
 
@@ -191,7 +197,7 @@ def init_contact_constraints(contacts, fx, bodies, c_pos, a_pos, v, w,
         body_a=ba.astype(jnp.int32), body_b=bb.astype(jnp.int32),
         point_count=point_count.astype(jnp.int32),
         friction=friction, restitution=restitution,
-        tangent_speed=jnp.zeros_like(friction),
+        tangent_speed=contacts.tangent_speed,
         inv_mass_a=m_a, inv_mass_b=m_b, inv_i_a=i_a, inv_i_b=i_b,
         normal=normal, r_a=r_a, r_b=r_b,
         normal_mass=normal_mass, tangent_mass=tangent_mass,

@@ -166,6 +166,16 @@ class Contacts:
     tangent_impulse: jax.Array  # (C,2) f32
     touching: jax.Array       # (C,) bool
     toi_count: jax.Array      # (C,) i32 CCD sub-steps consumed this step
+    # per-contact surface/material overrides (b2Contact::SetTangentSpeed /
+    # SetFriction / SetRestitution, b2Contact.h:126-157). tangent_speed is
+    # a plain value (0 = none, the conveyor-belt surface speed in m/s);
+    # the material overrides use -1 = "mix from the fixtures as usual"
+    # (negative friction/restitution being invalid). All three persist
+    # across pair-table refreshes for surviving pairs and reset on new
+    # pairs — the reference's per-contact storage semantics.
+    tangent_speed: jax.Array        # (C,) f32
+    friction_override: jax.Array    # (C,) f32, -1 = unset
+    restitution_override: jax.Array  # (C,) f32, -1 = unset
 
     @property
     def capacity(self):

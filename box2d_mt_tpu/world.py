@@ -59,15 +59,33 @@ class Events(NamedTuple):
     normal_impulse: jax.Array   # (C,2) — PostSolve impulses
     tangent_impulse: jax.Array  # (C,2)
     touching: jax.Array         # (C,) bool
+    # TOI sub-steps run AFTER the pair-table refresh, so BeginContact
+    # events they create index the refreshed table — a different slot
+    # basis than begin_touch/f_a/f_b above. They are exported on their own
+    # basis (toi_f_a/toi_f_b = the refreshed pair table, identical to
+    # new_state.contacts.f_a/f_b) instead of being OR-ed into begin_touch
+    # (b2World::StepSolveTOI's Contact::Update BeginContact analog).
+    toi_begin: jax.Array      # (C,) bool — on the refreshed slot basis
+    toi_f_a: jax.Array        # (C,) i32 refreshed pair fixtures
+    toi_f_b: jax.Array
 
 
 class PreSolveView(NamedTuple):
     """What a `pre_solve_fn` sees, per world — the TPU analog of
     b2ContactListener::PreSolve(contact, oldManifold)
     (b2WorldCallbacks.h:110-118): the fresh manifold for each contact slot
-    plus the previous step's manifold. Return a (C,) bool mask; False
-    disables that contact for this step's solve (SetEnabled(false) — the
-    one-sided-platform idiom, Testbed/Tests/OneSidedPlatform.h)."""
+    plus the previous step's manifold.
+
+    Return either a (C,) bool mask (False disables that contact for this
+    step's solve — SetEnabled(false), the one-sided-platform idiom,
+    Testbed/Tests/OneSidedPlatform.h), or a dict with any of:
+      "enabled":      (C,) bool  — as above
+      "tangent_speed": (C,) f32  — b2Contact::SetTangentSpeed
+                                   (ConveyorBelt.h idiom)
+      "friction":     (C,) f32   — b2Contact::SetFriction (-1 = default mix)
+      "restitution":  (C,) f32   — b2Contact::SetRestitution (-1 = default)
+    Returned arrays are written to the persistent per-contact fields
+    (matching the reference, where these setters persist on the contact)."""
     f_a: jax.Array            # (C,) i32
     f_b: jax.Array
     body_a: jax.Array         # (C,) i32
@@ -77,6 +95,9 @@ class PreSolveView(NamedTuple):
     old_mtype: jax.Array      # previous manifold (warm-start source)
     old_local_normal: jax.Array
     old_count: jax.Array
+    tangent_speed: jax.Array        # (C,) current per-contact values
+    friction_override: jax.Array    # (C,) -1 = unset
+    restitution_override: jax.Array  # (C,) -1 = unset
 
 
 # --------------------------------------------------------------------------
@@ -628,15 +649,13 @@ def _solve_middle_b(states: State, pre: _PreSolve, dt,
     c = jnp.stack([ps[:, 0], ps[:, 1]], axis=-1)
     a = ps[:, 2]
 
-    # ---- un-compact: impulses + min separation back to contact-slot order
+    # ---- un-compact: impulses + min separation back to contact-slot order.
+    # dest and perm are inverse permutations, so the back-transfer one-hot
+    # is perm_oh transposed — reuse it instead of materializing a second
+    # (W, C, P) one-hot (halves the permutation-matrix traffic).
     out_blob = jnp.stack([pimp[:, 0], pimp[:, 1], pimp[:, 2], pimp[:, 3],
-                          pmin_sep], axis=-1)
-    out_blob = jnp.concatenate(
-        [out_blob, jnp.zeros((n_worlds, 1, 5), out_blob.dtype)], axis=1)
-    dest_oh = (jnp.clip(dest, 0, p_total)[:, :, None]
-               == jnp.arange(p_total + 1)[None, None, :]
-               ).astype(out_blob.dtype)
-    back = jnp.einsum("wcp,wpk->wck", dest_oh, out_blob,
+                          pmin_sep], axis=-1)               # (W, P, 5)
+    back = jnp.einsum("wpc,wpk->wck", perm_oh[..., :nc], out_blob,
                       precision=jax.lax.Precision.HIGHEST)  # (W, C, 5)
     solved = (dest < p_total)[..., None]
     ni_it = jnp.where(solved, back[..., 0:2], pre.ni_it)
@@ -703,8 +722,8 @@ def _post_sleep_sync(state: State, pre: _PreSolve, dt, allow_sleep,
     return state_mid, moved
 
 
-def _post_solve_b(states: State, pre: _PreSolve, dt, allow_sleep, mids
-                  ) -> Tuple[State, Events]:
+def _post_solve_b(states: State, pre: _PreSolve, dt, allow_sleep, mids,
+                  filter_fn=None) -> Tuple[State, Events]:
     """Batched post phase: sleep/sync per world, then a *globally gated*
     pair-table refresh. Fat AABBs only change when a fixture's swept tight
     AABB escapes them (b2DynamicTree::MoveProxy hysteresis), so when no
@@ -723,7 +742,7 @@ def _post_solve_b(states: State, pre: _PreSolve, dt, allow_sleep, mids
 
     def do_refresh(sm):
         f_a, f_b, overflow = jax.vmap(
-            lambda s: broadphase.find_pairs(s, nc))(sm)
+            lambda s: broadphase.find_pairs(s, nc, filter_fn))(sm)
         contacts = jax.vmap(
             lambda c_, fa, fb: broadphase.carry_over_contacts(c_, fa, fb, nf)
         )(sm.contacts, f_a, f_b)
@@ -747,7 +766,9 @@ def _post_solve_b(states: State, pre: _PreSolve, dt, allow_sleep, mids
         color_overflow=pre.color_overflow.astype(jnp.int32),
         toi_overflow=jnp.zeros((n_worlds,), jnp.int32),
         normal_impulse=mids[0], tangent_impulse=mids[1],
-        touching=pre.contacts.touching)
+        touching=pre.contacts.touching,
+        toi_begin=jnp.zeros(contacts.f_a.shape, bool),
+        toi_f_a=contacts.f_a, toi_f_b=contacts.f_b)
     return new_state, events
 
 
@@ -767,7 +788,7 @@ def _use_pallas_toi() -> bool:
 
 def _solve_toi_b(states: State, dt, velocity_iterations: int,
                  toi_rounds: int, kinds, toi_capacity: int,
-                 enabled=None):
+                 enabled=None, toi_neighbors: bool = True):
     """Continuous physics over batched worlds
     (b2World::SolveTOI, b2World.cpp:1026-1093).
 
@@ -801,10 +822,25 @@ def _solve_toi_b(states: State, dt, velocity_iterations: int,
         the remainder of the step. `toi_count` counts real sub-steps against
         MAX_SUB_STEPS (b2_maxSubSteps).
 
-    Known deviations (tracked in PARITY.md): the sub-solve covers only the
-    impact pair, not the pair's neighbor contacts; the pair table is not
-    refreshed after TOI moves (safe: TOI points lie on the sweep path, so
-    pre-TOI swept fat AABBs are a superset).
+      * **Mini-island expansion** (`toi_neighbors`): each resolved pair
+        pulls its TOI bodies' other contacts into the sub-solve as extra
+        constraints, with the reference's admission rule — the neighbor
+        endpoint must be static, kinematic, or a bullet (b2World.cpp:
+        922-928: "Only add static, kinematic, or bullet bodies") — and
+        tentative advance-then-keep-if-touching (b2World.cpp:938-961).
+        As in b2ContactSolver::SolveTOIPositionConstraints, only the TOI
+        pair bodies move in the position pass; neighbor velocity
+        constraints transfer impulse into the TOI bodies.
+
+    Known deviations (tracked in PARITY.md): a neighbor endpoint that is
+    itself dynamic (possible only when a bullet is involved) stays frozen
+    in the velocity pass instead of receiving impulses, and kept neighbor
+    advances are not committed to the neighbor's sweep (exact for static/
+    kinematic neighbors — the overwhelmingly common case); neighbor
+    corrections within one NGS iteration are averaged (Jacobi) instead of
+    applied sequentially; the pair table is not refreshed after TOI moves
+    (safe: TOI points lie on the sweep path, so pre-TOI swept fat AABBs
+    are a superset).
     """
     from .ops.solver import (position_contact_math_s, velocity_contact_math_s)
     dst = distance
@@ -844,7 +880,9 @@ def _solve_toi_b(states: State, dt, velocity_iterations: int,
     bg = vgather(bsb, jnp.concatenate([ba, bb], axis=1))  # (W,2C,3)
     type_a = bg[:, :nc, 0].astype(jnp.int32)
     type_b = bg[:, nc:, 0].astype(jnp.int32)
-    bullet = (bg[:, :nc, 1] > 0.5) | (bg[:, nc:, 1] > 0.5)
+    bul_a = bg[:, :nc, 1] > 0.5
+    bul_b = bg[:, nc:, 1] > 0.5
+    bullet = bul_a | bul_b
     ns_a_full = type_a != settings.STATIC_BODY
     ns_b_full = type_b != settings.STATIC_BODY
     awake_pair = ((bg[:, :nc, 2] > 0.5) & ns_a_full) | \
@@ -870,8 +908,10 @@ def _solve_toi_b(states: State, dt, velocity_iterations: int,
         ib.astype(jnp.float32), ba.astype(jnp.float32),
         bb.astype(jnp.float32), type_a.astype(jnp.float32),
         type_b.astype(jnp.float32), contacts.toi_count.astype(jnp.float32),
-    ], axis=-1)                                     # (W,C,8)
-    sg = vgather(slot_blob, sel)                    # (W,K,8)
+        contacts.tangent_speed, contacts.friction_override,
+        contacts.restitution_override,
+    ], axis=-1)                                     # (W,C,11)
+    sg = vgather(slot_blob, sel)                    # (W,K,11)
     lane_on = sg[..., 0] > 0.5
     toi_overflow = (jnp.sum(active0, axis=1)
                     - jnp.sum(lane_on, axis=1)).astype(jnp.int32)
@@ -921,8 +961,11 @@ def _solve_toi_b(states: State, dt, velocity_iterations: int,
     sa = unpack_shape(fg[:, :kcap])
     sb = unpack_shape(fg[:, kcap:])
     kind = nph.contact_kind(sa["shape_type"], sb["shape_type"])
+    lane_ts = sg[..., 8]
     fric = jnp.sqrt(sa["friction"] * sb["friction"])
+    fric = jnp.where(sg[..., 9] >= 0.0, sg[..., 9], fric)
     rest = jnp.maximum(sa["restitution"], sb["restitution"])
+    rest = jnp.where(sg[..., 10] >= 0.0, sg[..., 10], rest)
 
     # ---- per-lane body constants
     bstat = jnp.concatenate([bodies.inv_mass[..., None],
@@ -959,7 +1002,7 @@ def _solve_toi_b(states: State, dt, velocity_iterations: int,
     lane_tc0 = sg[..., 7]
 
     def round_body(carry):
-        bp, lane_tc, lane_touch, k, _ = carry
+        bp, lane_tc, lane_touch, ntouch, k, _ = carry
         bgd = vgather(bp, kbab)                     # (W,2K,11)
         cA, aA = bgd[:, :kcap, 0:2], bgd[:, :kcap, 2]
         c0A, a0A = bgd[:, :kcap, 3:5], bgd[:, :kcap, 5]
@@ -1089,6 +1132,136 @@ def _solve_toi_b(states: State, dt, velocity_iterations: int,
         solve = selwin & hit
         lane_tc = lane_tc + selwin.astype(jnp.float32)
 
+        if toi_neighbors:
+            # ---- mini-island expansion (b2World.cpp:895-985): pull the
+            # TOI bodies' other contacts in as extra constraints. Admission
+            # follows the reference exactly: the neighbor endpoint must be
+            # static/kinematic, or a bullet is involved.
+            NK = kcap
+            lane_f = jnp.broadcast_to(
+                jnp.arange(kcap, dtype=jnp.float32)[None, :],
+                (n_worlds, kcap))
+            ends_on = jnp.concatenate([ns_a & solve, ns_b & solve], axis=1)
+            # body -> owning lane (resolved pairs are body-disjoint)
+            body_lane = vmin(
+                nb + 1, jnp.where(ends_on, kbab, nb),
+                jnp.concatenate([lane_f, lane_f], axis=1),
+                jnp.inf)[:, :nb]
+            is_toi_body = body_lane < jnp.inf
+            tb_a = vgs(is_toi_body, ba)
+            tb_b = vgs(is_toi_body, bb)
+            dyn_at = type_a == settings.DYNAMIC_BODY
+            dyn_bt = type_b == settings.DYNAMIC_BODY
+            adm_a = tb_a & (~dyn_bt | bul_a | bul_b)
+            adm_b = tb_b & (~dyn_at | bul_a | bul_b)
+            sel_slot = vscatter(
+                jnp.zeros((n_worlds, nc, 1), jnp.float32), sel,
+                selwin.astype(jnp.float32)[..., None])[..., 0] > 0.5
+            nbm = pair_exists & ~sensor & (adm_a | adm_b) & ~sel_slot
+            if enabled is not None:
+                nbm &= enabled
+            parent_f = jnp.where(adm_a, vgs(body_lane, ba),
+                                 vgs(body_lane, bb))
+            norder = jnp.argsort(jnp.where(nbm, 0, 1).astype(jnp.int32),
+                                 axis=1, stable=True)
+            nsel = norder[:, :NK]                   # (W,NK) contact slots
+            nblob = jnp.stack([
+                nbm.astype(jnp.float32), ia.astype(jnp.float32),
+                ib.astype(jnp.float32), ba.astype(jnp.float32),
+                bb.astype(jnp.float32), adm_a.astype(jnp.float32),
+                jnp.where(jnp.isfinite(parent_f), parent_f, 0.0),
+                contacts.tangent_speed, contacts.friction_override,
+                contacts.restitution_override,
+                type_a.astype(jnp.float32), type_b.astype(jnp.float32),
+            ], axis=-1)                             # (W,C,12)
+            ng = vgather(nblob, nsel)               # (W,NK,12)
+            nl_on = ng[..., 0] > 0.5
+            nia = ng[..., 1].astype(jnp.int32)
+            nib = ng[..., 2].astype(jnp.int32)
+            nba_ = ng[..., 3].astype(jnp.int32)
+            nbb_ = ng[..., 4].astype(jnp.int32)
+            n_toi_a = ng[..., 5] > 0.5              # TOI body is endpoint A
+            nparent = jnp.clip(ng[..., 6], 0, kcap - 1).astype(jnp.int32)
+            n_ts = ng[..., 7]
+            n_dyn_a = ng[..., 10] == settings.DYNAMIC_BODY
+            n_dyn_b = ng[..., 11] == settings.DYNAMIC_BODY
+
+            nfg = vgather(fblob, jnp.concatenate([nia, nib], axis=1))
+            sna = unpack_shape(nfg[:, :NK])
+            snb = unpack_shape(nfg[:, NK:])
+            nkind = nph.contact_kind(sna["shape_type"], snb["shape_type"])
+            nfric = jnp.sqrt(sna["friction"] * snb["friction"])
+            nfric = jnp.where(ng[..., 8] >= 0.0, ng[..., 8], nfric)
+            nrest = jnp.maximum(sna["restitution"], snb["restitution"])
+            nrest = jnp.where(ng[..., 9] >= 0.0, ng[..., 9], nrest)
+
+            nbsg = vgather(bstat, jnp.concatenate([nba_, nbb_], axis=1))
+            # only the TOI body moves (SolveTOIPositionConstraints,
+            # b2ContactSolver.cpp): neighbor-endpoint masses are zeroed
+            # (exact for static/kinematic; frozen-bullet deviation noted
+            # in the docstring)
+            n_mA = jnp.where(n_toi_a & n_dyn_a, nbsg[:, :NK, 0], 0.0)
+            n_iA = jnp.where(n_toi_a & n_dyn_a, nbsg[:, :NK, 1], 0.0)
+            n_lcA = nbsg[:, :NK, 2:4]
+            n_mB = jnp.where(~n_toi_a & n_dyn_b, nbsg[:, NK:, 0], 0.0)
+            n_iB = jnp.where(~n_toi_a & n_dyn_b, nbsg[:, NK:, 1], 0.0)
+            n_lcB = nbsg[:, NK:, 2:4]
+
+            # tentative advance of the neighbor endpoint to the parent's
+            # alpha (b2Body::Advance; kept only for manifold evaluation —
+            # static endpoints are unaffected, c0 == c)
+            n_alpha = vgs(alpha_s, nparent)
+            other_body = jnp.where(n_toi_a, nbb_, nba_)
+            og = vgather(bp, other_body)            # (W,NK,11)
+            o_al0 = og[..., 6]
+            beta_o = (n_alpha - o_al0) / jnp.where(o_al0 < 1.0,
+                                                   1.0 - o_al0, 1.0)
+            o_ce = og[..., 3:5] + beta_o[..., None] * (og[..., 0:2]
+                                                       - og[..., 3:5])
+            o_ae = og[..., 5] + beta_o * (og[..., 2] - og[..., 5])
+            o_v = og[..., 7:9]
+            o_w = og[..., 9]
+
+            # TOI-side evaluation pose: the parent lane's advanced pose
+            adv_pose = jnp.concatenate([cAn, aAn[..., None],
+                                        cBn, aBn[..., None]], axis=-1)
+            gl0 = vgather(adv_pose, nparent)        # (W,NK,6)
+            toi_body = jnp.where(n_toi_a, nba_, nbb_)
+            side_a = toi_body == vgs(kba, nparent)  # parent's A endpoint?
+            tpos0 = jnp.where(side_a[..., None], gl0[..., 0:3],
+                              gl0[..., 3:6])
+            neA_c = jnp.where(n_toi_a[..., None], tpos0[..., 0:2], o_ce)
+            neA_a = jnp.where(n_toi_a, tpos0[..., 2], o_ae)
+            neB_c = jnp.where(n_toi_a[..., None], o_ce, tpos0[..., 0:2])
+            neB_a = jnp.where(n_toi_a, o_ae, tpos0[..., 2])
+            nqA1 = rot_from_angle(neA_a)
+            npA1 = neA_c - rot_vec(nqA1, n_lcA)
+            nqB1 = rot_from_angle(neB_a)
+            npB1 = neB_c - rot_vec(nqB1, n_lcB)
+            nrows_a = nph.ShapeRows(
+                verts=flat(sna["verts"]), normals=flat(sna["normals"]),
+                nverts=flat(sna["nverts"]), ghosts=flat(sna["ghosts"]),
+                radius=flat(sna["radius"]))
+            nrows_b = nph.ShapeRows(
+                verts=flat(snb["verts"]), normals=flat(snb["normals"]),
+                nverts=flat(snb["nverts"]), ghosts=flat(snb["ghosts"]),
+                radius=flat(snb["radius"]))
+            nman = jax.vmap(lambda *ar: nph.collide(*ar, kinds=kinds))(
+                flat(nkind), nrows_a, flat(npA1), flat(nqA1),
+                nrows_b, flat(npB1), flat(nqB1))
+            nman = jax.tree.map(unflat, nman)
+            # keep-if-touching (b2World.cpp:955-961); empty-manifold pairs
+            # are dropped without side effects
+            n_keep = nl_on & (nman.count > 0) & vgs(solve, nparent)
+            ncnt = vscatter(
+                jnp.zeros((n_worlds, kcap, 1), jnp.float32), nparent,
+                n_keep.astype(jnp.float32)[..., None])[..., 0]
+            # within-iteration Jacobi averaging divisor (the reference
+            # applies neighbor corrections sequentially)
+            n_div = jnp.maximum(vgs(ncnt, nparent), 1.0)
+            nmpx = (nman.points[..., 0, 0], nman.points[..., 1, 0])
+            nmpy = (nman.points[..., 0, 1], nman.points[..., 1, 1])
+
         # ---- TOI position sub-solve: 20 iterations, beta = 0.75
         mpx = (man.points[..., 0, 0], man.points[..., 1, 0])
         mpy = (man.points[..., 0, 1], man.points[..., 1, 1])
@@ -1103,6 +1276,46 @@ def _solve_toi_b(states: State, dt, velocity_iterations: int,
                 man.local_normal[..., 0], man.local_normal[..., 1],
                 mpx, mpy, cax, cay, aa_, cbx, cby, ab_, solve,
                 settings.TOI_BAUMGARTE, settings.MAX_LINEAR_CORRECTION)
+            if toi_neighbors:
+                # neighbor constraints against the live TOI-body position;
+                # corrections averaged per parent lane, neighbor endpoint
+                # immobile (zero mass)
+                lane_pos = jnp.stack([cax, cay, aa_, cbx, cby, ab_],
+                                     axis=-1)
+                gl = vgather(lane_pos, nparent)
+                tp = jnp.where(side_a[..., None], gl[..., 0:3],
+                               gl[..., 3:6])
+                pcax = jnp.where(n_toi_a, tp[..., 0], o_ce[..., 0])
+                pcay = jnp.where(n_toi_a, tp[..., 1], o_ce[..., 1])
+                paa = jnp.where(n_toi_a, tp[..., 2], o_ae)
+                pcbx = jnp.where(n_toi_a, o_ce[..., 0], tp[..., 0])
+                pcby = jnp.where(n_toi_a, o_ce[..., 1], tp[..., 1])
+                pab = jnp.where(n_toi_a, o_ae, tp[..., 2])
+                ncax, ncay, naa, ncbx, ncby, nab, _ = \
+                    position_contact_math_s(
+                        nman.mtype, nman.count, n_mA, n_mB, n_iA, n_iB,
+                        sna["radius"], snb["radius"],
+                        n_lcA[..., 0], n_lcA[..., 1],
+                        n_lcB[..., 0], n_lcB[..., 1],
+                        nman.local_point[..., 0], nman.local_point[..., 1],
+                        nman.local_normal[..., 0],
+                        nman.local_normal[..., 1],
+                        nmpx, nmpy, pcax, pcay, paa, pcbx, pcby, pab,
+                        n_keep, settings.TOI_BAUMGARTE,
+                        settings.MAX_LINEAR_CORRECTION)
+                dx = jnp.where(n_toi_a, ncax - pcax, ncbx - pcbx) / n_div
+                dy = jnp.where(n_toi_a, ncay - pcay, ncby - pcby) / n_div
+                da = jnp.where(n_toi_a, naa - paa, nab - pab) / n_div
+                z3 = jnp.zeros_like(dx)
+                d6 = jnp.where(
+                    side_a[..., None],
+                    jnp.stack([dx, dy, da, z3, z3, z3], axis=-1),
+                    jnp.stack([z3, z3, z3, dx, dy, da], axis=-1))
+                lane_pos = vscatter(lane_pos, nparent, d6)
+                cax, cay, aa_ = (lane_pos[..., 0], lane_pos[..., 1],
+                                 lane_pos[..., 2])
+                cbx, cby, ab_ = (lane_pos[..., 3], lane_pos[..., 4],
+                                 lane_pos[..., 5])
             return cax, cay, aa_, cbx, cby, ab_
 
         cax, cay, aa_, cbx, cby, ab_ = jax.lax.fori_loop(
@@ -1154,11 +1367,86 @@ def _solve_toi_b(states: State, dt, velocity_iterations: int,
         inv_det = jnp.where(det != 0.0,
                             1.0 / jnp.where(det != 0.0, det, 1.0), 0.0)
 
+        if toi_neighbors:
+            # ---- neighbor velocity-constraint prep at the position-solved
+            # TOI-body pose (island velocity pass, b2Island.cpp:474-483);
+            # the neighbor endpoint is frozen (zero inv mass — exact for
+            # the static/kinematic endpoints the admission rule produces)
+            lane_pos_f = jnp.stack([cax, cay, aa_, cbx, cby, ab_], axis=-1)
+            glf = vgather(lane_pos_f, nparent)
+            tpf = jnp.where(side_a[..., None], glf[..., 0:3],
+                            glf[..., 3:6])
+            nfA_c = jnp.where(n_toi_a[..., None], tpf[..., 0:2], o_ce)
+            nfA_a = jnp.where(n_toi_a, tpf[..., 2], o_ae)
+            nfB_c = jnp.where(n_toi_a[..., None], o_ce, tpf[..., 0:2])
+            nfB_a = jnp.where(n_toi_a, o_ae, tpf[..., 2])
+            nqA2 = rot_from_angle(nfA_a)
+            npA2 = nfA_c - rot_vec(nqA2, n_lcA)
+            nqB2 = rot_from_angle(nfB_a)
+            npB2 = nfB_c - rot_vec(nqB2, n_lcB)
+            nnormal, npts, _ = jax.vmap(csolver.world_manifold)(
+                flat(nman.mtype), flat(nman.local_point),
+                flat(nman.local_normal), flat(nman.points),
+                flat(nman.count), flat(npA2), flat(nqA2), nrows_a.radius,
+                flat(npB2), flat(nqB2), nrows_b.radius)
+            nnormal = unflat(nnormal)
+            npts = unflat(npts)
+            n_r_a = npts - nfA_c[:, :, None, :]
+            n_r_b = npts - nfB_c[:, :, None, :]
+            nnx, nny = nnormal[..., 0], nnormal[..., 1]
+            nrn_a = (n_r_a[..., 0] * nny[..., None]
+                     - n_r_a[..., 1] * nnx[..., None])
+            nrn_b = (n_r_b[..., 0] * nny[..., None]
+                     - n_r_b[..., 1] * nnx[..., None])
+            nk_n = ((n_mA + n_mB)[..., None] + n_iA[..., None] * nrn_a ** 2
+                    + n_iB[..., None] * nrn_b ** 2)
+            nnm = jnp.where(nk_n > 0.0,
+                            1.0 / jnp.where(nk_n > 0.0, nk_n, 1.0), 0.0)
+            ntx, nty = nny, -nnx
+            nrt_a = (n_r_a[..., 0] * nty[..., None]
+                     - n_r_a[..., 1] * ntx[..., None])
+            nrt_b = (n_r_b[..., 0] * nty[..., None]
+                     - n_r_b[..., 1] * ntx[..., None])
+            nk_t = ((n_mA + n_mB)[..., None] + n_iA[..., None] * nrt_a ** 2
+                    + n_iB[..., None] * nrt_b ** 2)
+            ntm = jnp.where(nk_t > 0.0,
+                            1.0 / jnp.where(nk_t > 0.0, nk_t, 1.0), 0.0)
+            lane_vel0 = jnp.stack([vA[..., 0], vA[..., 1], wA,
+                                   vB[..., 0], vB[..., 1], wB], axis=-1)
+            gv0 = vgather(lane_vel0, nparent)
+            tv0 = jnp.where(side_a[..., None], gv0[..., 0:3],
+                            gv0[..., 3:6])
+            nvA0 = jnp.where(n_toi_a[..., None], tv0[..., 0:2], o_v)
+            nwA0 = jnp.where(n_toi_a, tv0[..., 2], o_w)
+            nvB0 = jnp.where(n_toi_a[..., None], o_v, tv0[..., 0:2])
+            nwB0 = jnp.where(n_toi_a, o_w, tv0[..., 2])
+            ndvx = (nvB0[..., 0:1] - nwB0[..., None] * n_r_b[..., 1]
+                    - nvA0[..., 0:1] + nwA0[..., None] * n_r_a[..., 1])
+            ndvy = (nvB0[..., 1:2] + nwB0[..., None] * n_r_b[..., 0]
+                    - nvA0[..., 1:2] - nwA0[..., None] * n_r_a[..., 0])
+            nv_rel = ndvx * nnx[..., None] + ndvy * nny[..., None]
+            nbias = jnp.where(nv_rel < -settings.VELOCITY_THRESHOLD,
+                              -nrest[..., None] * nv_rel, 0.0)
+            nk11 = nk_n[..., 0]
+            nk22 = nk_n[..., 1]
+            nk12 = (n_mA + n_mB + n_iA * nrn_a[..., 0] * nrn_a[..., 1]
+                    + n_iB * nrn_b[..., 0] * nrn_b[..., 1])
+            ndet = nk11 * nk22 - nk12 * nk12
+            nwell = nk11 * nk11 < 1000.0 * ndet
+            npc2 = jnp.where((nman.count == 2) & ~nwell, 1, nman.count)
+            ninv_det = jnp.where(ndet != 0.0,
+                                 1.0 / jnp.where(ndet != 0.0, ndet, 1.0),
+                                 0.0)
+
         def vel_pass(_, vc):
-            ni0, ni1, ti0, ti1, vax, vay, wa_, vbx, vby, wb_ = vc
+            if toi_neighbors:
+                (ni0, ni1, ti0, ti1, vax, vay, wa_, vbx, vby, wb_,
+                 nn0, nn1, nt0, nt1) = vc
+            else:
+                ni0, ni1, ti0, ti1, vax, vay, wa_, vbx, vby, wb_ = vc
             (ni0, ni1), (ti0, ti1), vax, vay, wa_, vbx, vby, wb_ = \
                 velocity_contact_math_s(
-                    fric, jnp.float32(0.0), mA, mB, iA, iB, nx, ny,
+                    fric, lane_ts, mA, mB, iA, iB, nx, ny,
                     (r_a[..., 0, 0], r_a[..., 1, 0]),
                     (r_a[..., 0, 1], r_a[..., 1, 1]),
                     (r_b[..., 0, 0], r_b[..., 1, 0]),
@@ -1169,13 +1457,54 @@ def _solve_toi_b(states: State, dt, velocity_iterations: int,
                     inv_det * k11, pc2,
                     (ni0, ni1), (ti0, ti1),
                     vax, vay, wa_, vbx, vby, wb_, solve)
-            return ni0, ni1, ti0, ti1, vax, vay, wa_, vbx, vby, wb_
+            if not toi_neighbors:
+                return ni0, ni1, ti0, ti1, vax, vay, wa_, vbx, vby, wb_
+            # neighbor impulses against the live TOI-body velocity,
+            # averaged per parent lane (frozen endpoint never moves)
+            lane_vel = jnp.stack([vax, vay, wa_, vbx, vby, wb_], axis=-1)
+            gv = vgather(lane_vel, nparent)
+            tv = jnp.where(side_a[..., None], gv[..., 0:3], gv[..., 3:6])
+            nvax = jnp.where(n_toi_a, tv[..., 0], o_v[..., 0])
+            nvay = jnp.where(n_toi_a, tv[..., 1], o_v[..., 1])
+            nwa = jnp.where(n_toi_a, tv[..., 2], o_w)
+            nvbx = jnp.where(n_toi_a, o_v[..., 0], tv[..., 0])
+            nvby = jnp.where(n_toi_a, o_v[..., 1], tv[..., 1])
+            nwb = jnp.where(n_toi_a, o_w, tv[..., 2])
+            (nn0, nn1), (nt0, nt1), nvax2, nvay2, nwa2, nvbx2, nvby2, \
+                nwb2 = velocity_contact_math_s(
+                    nfric, n_ts, n_mA, n_mB, n_iA, n_iB, nnx, nny,
+                    (n_r_a[..., 0, 0], n_r_a[..., 1, 0]),
+                    (n_r_a[..., 0, 1], n_r_a[..., 1, 1]),
+                    (n_r_b[..., 0, 0], n_r_b[..., 1, 0]),
+                    (n_r_b[..., 0, 1], n_r_b[..., 1, 1]),
+                    (nnm[..., 0], nnm[..., 1]), (ntm[..., 0], ntm[..., 1]),
+                    (nbias[..., 0], nbias[..., 1]),
+                    nk11, nk12, nk22, ninv_det * nk22, -ninv_det * nk12,
+                    ninv_det * nk11, npc2,
+                    (nn0, nn1), (nt0, nt1),
+                    nvax, nvay, nwa, nvbx, nvby, nwb, n_keep)
+            dvx_ = jnp.where(n_toi_a, nvax2 - nvax, nvbx2 - nvbx) / n_div
+            dvy_ = jnp.where(n_toi_a, nvay2 - nvay, nvby2 - nvby) / n_div
+            dw_ = jnp.where(n_toi_a, nwa2 - nwa, nwb2 - nwb) / n_div
+            z3 = jnp.zeros_like(dvx_)
+            d6 = jnp.where(
+                side_a[..., None],
+                jnp.stack([dvx_, dvy_, dw_, z3, z3, z3], axis=-1),
+                jnp.stack([z3, z3, z3, dvx_, dvy_, dw_], axis=-1))
+            lane_vel = vscatter(lane_vel, nparent, d6)
+            return (ni0, ni1, ti0, ti1,
+                    lane_vel[..., 0], lane_vel[..., 1], lane_vel[..., 2],
+                    lane_vel[..., 3], lane_vel[..., 4], lane_vel[..., 5],
+                    nn0, nn1, nt0, nt1)
 
         z = jnp.zeros_like(fric)
-        _, _, _, _, vax, vay, wa_, vbx, vby, wb_ = jax.lax.fori_loop(
-            0, velocity_iterations, vel_pass,
-            (z, z, z, z, vA[..., 0], vA[..., 1], wA,
-             vB[..., 0], vB[..., 1], wB))
+        vinit = (z, z, z, z, vA[..., 0], vA[..., 1], wA,
+                 vB[..., 0], vB[..., 1], wB)
+        if toi_neighbors:
+            zn = jnp.zeros_like(nfric)
+            vinit = vinit + (zn, zn, zn, zn)
+        vout = jax.lax.fori_loop(0, velocity_iterations, vel_pass, vinit)
+        vax, vay, wa_, vbx, vby, wb_ = vout[4:10]
 
         # ---- complete the remainder of the step for the pair
         h = (1.0 - jnp.where(selwin, alpha_s, 1.0)) * dt
@@ -1222,14 +1551,21 @@ def _solve_toi_b(states: State, dt, velocity_iterations: int,
         dB = mk_delta(solve & ns_b, cBfx, cBfy, aBf, cbx, cby, ab_,
                       vbx, vby, wb_, cB, aB, c0B, a0B, al0B, vB, wB, awB)
         bp = vscatter(bp, kbab, jnp.concatenate([dA, dB], axis=1))
-        return bp, lane_tc, lane_touch | solve, k + 1, again
+        if toi_neighbors:
+            # kept neighbor contacts become touching (their Contact::Update
+            # found a manifold — b2World.cpp:955-967)
+            ntouch = ntouch | (vscatter(
+                jnp.zeros((n_worlds, nc, 1), jnp.float32), nsel,
+                n_keep.astype(jnp.float32)[..., None])[..., 0] > 0.5)
+        return bp, lane_tc, lane_touch | solve, ntouch, k + 1, again
 
     def toi_cond(carry):
-        return (carry[3] < toi_rounds) & carry[4]
+        return (carry[4] < toi_rounds) & carry[5]
 
-    bp, lane_tc, lane_touch, _, _ = jax.lax.while_loop(
+    bp, lane_tc, lane_touch, ntouch_all, _, _ = jax.lax.while_loop(
         toi_cond, round_body,
         (body_pack0, lane_tc0, jnp.zeros((n_worlds, kcap), bool),
+         jnp.zeros((n_worlds, nc), bool),
          jnp.int32(0), jnp.bool_(True)))
 
     # scatter the lane sub-step counts + TOI touches back to contact slots;
@@ -1238,7 +1574,7 @@ def _solve_toi_b(states: State, dt, velocity_iterations: int,
     tc_add = vscatter(jnp.zeros((n_worlds, nc, 2), jnp.float32), sel,
                       jnp.stack([lane_tc - lane_tc0,
                                  lane_touch.astype(jnp.float32)], axis=-1))
-    toi_touch = tc_add[..., 1] > 0.5
+    toi_touch = (tc_add[..., 1] > 0.5) | ntouch_all
     contacts2 = dataclasses.replace(
         contacts,
         toi_count=contacts.toi_count + tc_add[..., 0].astype(jnp.int32),
@@ -1280,14 +1616,15 @@ def possible_kinds(state: State) -> tuple:
 @partial(jax.jit, static_argnames=(
     "velocity_iterations", "position_iterations", "warm_starting",
     "allow_sleep", "max_colors", "continuous", "toi_rounds", "kinds",
-    "toi_capacity", "pre_solve_fn"))
+    "toi_capacity", "pre_solve_fn", "filter_fn", "toi_neighbors"))
 def step_batched(states: State, dt, velocity_iterations: int = 8,
                  position_iterations: int = 3, warm_starting: bool = True,
                  allow_sleep: bool = True,
                  max_colors: int = settings.MAX_COLORS,
                  continuous: bool = True, toi_rounds: int = 8,
                  kinds=nph.ALL_KINDS, toi_capacity=None,
-                 pre_solve_fn=None) -> Tuple[State, Events]:
+                 pre_solve_fn=None, filter_fn=None,
+                 toi_neighbors: bool = True) -> Tuple[State, Events]:
     """One world-step over a batch of worlds (leading axis on every State
     leaf). This is the production entry point: control flow (iteration
     loops, the dynamic color count, the TOI round loop, the gated pair
@@ -1297,7 +1634,14 @@ def step_batched(states: State, dt, velocity_iterations: int = 8,
 
     `pre_solve_fn(state, view: PreSolveView) -> (C,) bool` is the PreSolve
     callback analog: traced into the program per world between collide and
-    solve; False disables that contact slot for this step."""
+    solve; False disables that contact slot for this step.
+
+    `filter_fn(state, fi, fj) -> bool` is the custom contact-filter hook
+    (b2ContactFilter::ShouldCollide override, b2WorldCallbacks.h:52-62):
+    consulted during pair admission in every pair refresh, on top of the
+    built-in category/mask/group filters. Pass the same fn to
+    WorldBuilder.freeze(filter_fn=...) so the construction-time pair pass
+    agrees."""
     dt = jnp.asarray(dt, jnp.float32)
     if toi_capacity is None:
         toi_capacity = max(32, states.contacts.capacity // 8)
@@ -1311,7 +1655,7 @@ def step_batched(states: State, dt, velocity_iterations: int = 8,
 
     def _refresh_entry(sm):
         f_a, f_b, _ = jax.vmap(
-            lambda s: broadphase.find_pairs(s, nc_))(sm)
+            lambda s: broadphase.find_pairs(s, nc_, filter_fn))(sm)
         return jax.vmap(
             lambda c_, fa, fb: broadphase.carry_over_contacts(c_, fa, fb,
                                                               nf_)
@@ -1339,20 +1683,23 @@ def step_batched(states: State, dt, velocity_iterations: int = 8,
             pair_overflow=zw, color_overflow=zw, toi_overflow=zw,
             normal_impulse=jnp.zeros(c.f_a.shape + (2,), jnp.float32),
             tangent_impulse=jnp.zeros(c.f_a.shape + (2,), jnp.float32),
-            touching=c.touching)
+            touching=c.touching, toi_begin=zc, toi_f_a=c.f_a,
+            toi_f_b=c.f_b)
 
     def _active_step(states):
         return _step_active(
             states, dt, velocity_iterations, position_iterations,
             warm_starting, allow_sleep, max_colors, continuous, toi_rounds,
-            kinds, toi_capacity, pre_solve_fn, n_worlds)
+            kinds, toi_capacity, pre_solve_fn, n_worlds, filter_fn,
+            toi_neighbors)
 
     return jax.lax.cond(any_active, _active_step, _skip_step, states)
 
 
 def _step_active(states, dt, velocity_iterations, position_iterations,
                  warm_starting, allow_sleep, max_colors, continuous,
-                 toi_rounds, kinds, toi_capacity, pre_solve_fn, n_worlds):
+                 toi_rounds, kinds, toi_capacity, pre_solve_fn, n_worlds,
+                 filter_fn=None, toi_neighbors=True):
     """The full phase pipeline (see step_batched)."""
     manifold, sensor, sensor_touch, ba, bb = _collide_b(states, kinds)
     if pre_solve_fn is not None:
@@ -1364,8 +1711,28 @@ def _step_active(states, dt, velocity_iterations, position_iterations,
             body_a=ba, body_b=bb, touching=touching_now, manifold=manifold,
             old_mtype=states.contacts.m_type,
             old_local_normal=states.contacts.m_local_normal,
-            old_count=states.contacts.m_count)
-        enabled = jax.vmap(pre_solve_fn)(states, view)
+            old_count=states.contacts.m_count,
+            tangent_speed=states.contacts.tangent_speed,
+            friction_override=states.contacts.friction_override,
+            restitution_override=states.contacts.restitution_override)
+        hook_out = jax.vmap(pre_solve_fn)(states, view)
+        if isinstance(hook_out, dict):
+            enabled = hook_out.get(
+                "enabled", jnp.ones(states.contacts.f_a.shape, bool))
+            # the setters persist on the contact (b2Contact.h:126-157)
+            c_upd = {}
+            if "tangent_speed" in hook_out:
+                c_upd["tangent_speed"] = hook_out["tangent_speed"]
+            if "friction" in hook_out:
+                c_upd["friction_override"] = hook_out["friction"]
+            if "restitution" in hook_out:
+                c_upd["restitution_override"] = hook_out["restitution"]
+            if c_upd:
+                states = dataclasses.replace(
+                    states, contacts=dataclasses.replace(
+                        states.contacts, **c_upd))
+        else:
+            enabled = hook_out
     else:
         enabled = jnp.ones(states.contacts.f_a.shape, bool)
     pre = jax.vmap(
@@ -1375,7 +1742,8 @@ def _step_active(states, dt, velocity_iterations, position_iterations,
     mids, dropped = _solve_middle_b(states, pre, dt, velocity_iterations,
                                     position_iterations, warm_starting,
                                     max_colors)
-    new_state, events = _post_solve_b(states, pre, dt, allow_sleep, mids)
+    new_state, events = _post_solve_b(states, pre, dt, allow_sleep, mids,
+                                      filter_fn)
     events = events._replace(
         color_overflow=events.color_overflow + dropped.astype(jnp.int32))
     if continuous and toi_rounds > 0:
@@ -1395,19 +1763,28 @@ def _step_active(states, dt, velocity_iterations, position_iterations,
                 body_b=jnp.take_along_axis(fb2, jnp.clip(c2.f_b, 0), axis=1),
                 touching=c2.touching, manifold=man2,
                 old_mtype=c2.m_type, old_local_normal=c2.m_local_normal,
-                old_count=c2.m_count)
-            enabled_toi = jax.vmap(pre_solve_fn)(new_state, view2)
+                old_count=c2.m_count,
+                tangent_speed=c2.tangent_speed,
+                friction_override=c2.friction_override,
+                restitution_override=c2.restitution_override)
+            hook_out2 = jax.vmap(pre_solve_fn)(new_state, view2)
+            if isinstance(hook_out2, dict):
+                enabled_toi = hook_out2.get(
+                    "enabled", jnp.ones(c2.f_a.shape, bool))
+            else:
+                enabled_toi = hook_out2
         else:
             enabled_toi = None
         new_state, toi_overflow, toi_begin = _solve_toi_b(
             new_state, dt, velocity_iterations, toi_rounds, kinds,
-            toi_capacity, enabled=enabled_toi)
-        # TOI-created touches fire BeginContact this step. NOTE: toi_begin
-        # indexes the *refreshed* pair table (events.f_a/f_b index the
-        # pre-refresh table); expose it on its own slot basis.
-        events = events._replace(
-            begin_touch=events.begin_touch | toi_begin,
-            touching=events.touching | toi_begin)
+            toi_capacity, enabled=enabled_toi, toi_neighbors=toi_neighbors)
+        # TOI-created touches fire BeginContact this step, but toi_begin
+        # indexes the *refreshed* pair table while begin_touch/f_a/f_b
+        # index the pre-refresh table — export it on its own slot basis
+        # (Events.toi_begin + toi_f_a/toi_f_b) rather than OR-ing across
+        # bases. A consumer's full begin set for the step is
+        # begin_touch@(f_a,f_b) plus toi_begin@(toi_f_a,toi_f_b).
+        events = events._replace(toi_begin=toi_begin)
     else:
         toi_overflow = jnp.zeros((n_worlds,), jnp.int32)
     return new_state, events._replace(toi_overflow=toi_overflow)
@@ -1416,13 +1793,14 @@ def _step_active(states, dt, velocity_iterations, position_iterations,
 @partial(jax.jit, static_argnames=(
     "velocity_iterations", "position_iterations", "warm_starting",
     "allow_sleep", "max_colors", "continuous", "toi_rounds", "kinds",
-    "toi_capacity", "pre_solve_fn"))
+    "toi_capacity", "pre_solve_fn", "filter_fn", "toi_neighbors"))
 def step(state: State, dt, velocity_iterations: int = 8,
          position_iterations: int = 3, warm_starting: bool = True,
          allow_sleep: bool = True, max_colors: int = settings.MAX_COLORS,
          continuous: bool = True, toi_rounds: int = 8,
          kinds=nph.ALL_KINDS, toi_capacity=None,
-         pre_solve_fn=None) -> Tuple[State, Events]:
+         pre_solve_fn=None, filter_fn=None,
+         toi_neighbors: bool = True) -> Tuple[State, Events]:
     """Single-world step: batch of one through step_batched."""
     states = jax.tree.map(lambda x: x[None], state)
     out, ev = step_batched(
@@ -1430,7 +1808,8 @@ def step(state: State, dt, velocity_iterations: int = 8,
         position_iterations=position_iterations, warm_starting=warm_starting,
         allow_sleep=allow_sleep, max_colors=max_colors, continuous=continuous,
         toi_rounds=toi_rounds, kinds=kinds, toi_capacity=toi_capacity,
-        pre_solve_fn=pre_solve_fn)
+        pre_solve_fn=pre_solve_fn, filter_fn=filter_fn,
+        toi_neighbors=toi_neighbors)
     return (jax.tree.map(lambda x: x[0], out),
             jax.tree.map(lambda x: x[0], ev))
 
@@ -1724,7 +2103,16 @@ class WorldBuilder:
     # -- freeze ------------------------------------------------------------
     def freeze(self, body_capacity: Optional[int] = None,
                fixture_capacity: Optional[int] = None,
-               contact_capacity: Optional[int] = None) -> State:
+               contact_capacity: Optional[int] = None,
+               joint_capacity: Optional[dict] = None,
+               filter_fn=None) -> State:
+        """`joint_capacity` maps joint kind -> slot count to preallocate for
+        runtime joint creation (mutate.add_*_joint, the b2World::CreateJoint
+        analog). Preallocating any slots for a kind compiles that kind's
+        solver into the step program even while no joint is active.
+
+        `filter_fn` is the custom contact-filter hook (see step_batched);
+        pass it here too so the construction-time pair pass applies it."""
         nb = body_capacity or _next_pow2(len(self._bodies))
         nf = fixture_capacity or _next_pow2(len(self._fixtures))
         nc = contact_capacity or _next_pow2(max(64, 4 * len(self._fixtures)))
@@ -1733,7 +2121,7 @@ class WorldBuilder:
         bodies = _pack_bodies(self._bodies, self._fixtures, nb)
         fixtures = _pack_fixtures(self._fixtures, nf)
         contacts = _empty_contacts(nc)
-        joints = build_joints(self._joints)
+        joints = build_joints(self._joints, joint_capacity)
 
         state = State(
             bodies=bodies, fixtures=fixtures, contacts=contacts,
@@ -1742,11 +2130,11 @@ class WorldBuilder:
             inv_dt0=jnp.float32(0.0),
             pairs_dirty=jnp.asarray(False),
         )
-        return _init_broadphase(state)
+        return _init_broadphase(state, filter_fn=filter_fn)
 
 
-@jax.jit
-def _init_broadphase(state: State) -> State:
+@partial(jax.jit, static_argnames=("filter_fn",))
+def _init_broadphase(state: State, filter_fn=None) -> State:
     """Create initial fat AABBs + pair table (the construction-time
     FindNewContacts pass, b2World.cpp:1628-1639)."""
     p, q = _body_xf(state.bodies)
@@ -1754,7 +2142,8 @@ def _init_broadphase(state: State) -> State:
     lo, hi = broadphase.initial_fat_aabbs(state.fixtures, p[fb], q[fb])
     fx = dataclasses.replace(state.fixtures, aabb_lo=lo, aabb_hi=hi)
     state = dataclasses.replace(state, fixtures=fx)
-    f_a, f_b, _ = broadphase.find_pairs(state, state.contacts.capacity)
+    f_a, f_b, _ = broadphase.find_pairs(state, state.contacts.capacity,
+                                        filter_fn)
     contacts = broadphase.carry_over_contacts(state.contacts, f_a, f_b,
                                               fx.capacity)
     return dataclasses.replace(state, contacts=contacts)
@@ -1920,9 +2309,12 @@ def _empty_contacts(nc) -> Contacts:
         tangent_impulse=jnp.zeros((nc, 2), jnp.float32),
         touching=jnp.zeros(nc, bool),
         toi_count=jnp.zeros(nc, jnp.int32),
+        tangent_speed=jnp.zeros(nc, jnp.float32),
+        friction_override=jnp.full(nc, -1.0, jnp.float32),
+        restitution_override=jnp.full(nc, -1.0, jnp.float32),
     )
 
 
-def build_joints(joint_defs: dict) -> Joints:
+def build_joints(joint_defs: dict, joint_capacity: dict = None) -> Joints:
     from .joints import build_joints as _bj
-    return _bj(joint_defs)
+    return _bj(joint_defs, joint_capacity)

@@ -36,7 +36,10 @@ def test_sensor_begin_end_matches_reference():
     begins, ends = [], []
     for i in range(180):
         st, ev = world.step(st, 1 / 60)
-        if bool(np.asarray(ev.begin_touch).any()):
+        # full begin set = begin_touch (pre-refresh basis) + toi_begin
+        # (refreshed basis) — the landing BeginContact is TOI-created
+        if bool(np.asarray(ev.begin_touch).any()
+                or np.asarray(ev.toi_begin).any()):
             begins.append(i)
         if bool(np.asarray(ev.end_touch).any()):
             ends.append(i)

@@ -114,3 +114,42 @@ def test_thick_shape_opts_out_of_ccd():
     for _ in range(30):
         st, _ = world.step(st, 1 / 60, max_colors=4)
     assert float(st.bodies.xf_p[1, 0]) > 10.5  # tunnels: CCD opted out
+
+
+def test_toi_begin_events_decode_to_fixture_pairs():
+    """Events slot-basis contract (round-3 fix): TOI-created BeginContact
+    events are exported on the refreshed pair table's basis via
+    (toi_begin, toi_f_a, toi_f_b) — never OR-ed into begin_touch, whose
+    f_a/f_b describe the pre-refresh table. Every fired toi_begin must
+    decode to the (bullet, wall) fixture pair and the refreshed table must
+    report the pair touching."""
+    wb = WorldBuilder(gravity=(0, 0))
+    wall = wb.create_body(position=(10, 0))
+    wall_fx = wb.create_fixture(wall, shapes.Polygon.box(0.05, 5.0))
+    b = wb.create_body(body_type=settings.DYNAMIC_BODY, position=(0, 0),
+                       bullet=True, linear_velocity=(200.0, 0.0))
+    b_fx = wb.create_fixture(b, shapes.Circle(0.1), density=1.0)
+    st = wb.freeze()
+    saw_toi_begin = False
+    for _ in range(30):
+        st, ev = world.step(st, 1 / 60, max_colors=4)
+        tb = np.asarray(ev.toi_begin)
+        if tb.any():
+            saw_toi_begin = True
+            fa = np.asarray(ev.toi_f_a)[tb]
+            fb = np.asarray(ev.toi_f_b)[tb]
+            assert set(map(tuple, np.sort(np.stack([fa, fb], 1), axis=1))) \
+                == {(min(wall_fx, b_fx), max(wall_fx, b_fx))}
+            # the refreshed table agrees the pair is touching
+            touching = np.asarray(st.contacts.touching)
+            assert touching[tb].all()
+            # and the slot basis matches the refreshed contacts table
+            np.testing.assert_array_equal(np.asarray(ev.toi_f_a),
+                                          np.asarray(st.contacts.f_a))
+        # begin_touch stays on its own (pre-refresh) basis: any set bit
+        # must decode against ev.f_a/ev.f_b without -1 sentinels
+        bt = np.asarray(ev.begin_touch)
+        if bt.any():
+            assert (np.asarray(ev.f_a)[bt] >= 0).all()
+            assert (np.asarray(ev.f_b)[bt] >= 0).all()
+    assert saw_toi_begin, "bullet impact never produced a TOI begin event"

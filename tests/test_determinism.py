@@ -48,3 +48,61 @@ def test_scene_determinism(name, build, steps):
         np.testing.assert_array_equal(a1[k], a1[0], err_msg=f"lane {k}")
         np.testing.assert_array_equal(w1[k], w1[0], err_msg=f"lane {k}")
     assert not np.any(np.isnan(c1))
+
+
+def _bullet_scene():
+    """CCD-heavy determinism case: the TOI while-loop's `jnp.any` round
+    gating is exactly where batch-dependent nondeterminism would hide."""
+    from box2d_mt_tpu import settings, shapes
+    from box2d_mt_tpu.world import WorldBuilder
+    wb = WorldBuilder(gravity=(0.0, -10.0))
+    ground = wb.create_body()
+    wb.create_fixture(ground, shapes.Edge((-30.0, 0.0), (30.0, 0.0)))
+    wall = wb.create_body(position=(10.0, 3.0))
+    wb.create_fixture(wall, shapes.Polygon.box(0.05, 3.0))
+    for i in range(4):
+        b = wb.create_body(body_type=settings.DYNAMIC_BODY,
+                           position=(-8.0 - 1.5 * i, 1.0 + 0.8 * i),
+                           bullet=True, linear_velocity=(120.0, 0.0))
+        wb.create_fixture(b, shapes.Circle(0.1), density=5.0,
+                          restitution=0.3)
+    return wb.freeze()
+
+
+def test_bullet_ccd_determinism():
+    state = _bullet_scene()
+    batched = replicate_state(state, 4)
+    roll = make_rollout(60)
+    out1 = roll(batched, jnp.float32(1 / 60))
+    out2 = roll(batched, jnp.float32(1 / 60))
+    c1 = np.asarray(out1.bodies.c)
+    np.testing.assert_array_equal(c1, np.asarray(out2.bodies.c))
+    for k in range(1, 4):
+        np.testing.assert_array_equal(c1[k], c1[0], err_msg=f"lane {k}")
+    assert not np.any(np.isnan(c1))
+
+
+def test_mutation_sequence_determinism():
+    """Between-step mutations (spawn, impulse) replayed twice must produce
+    bit-identical trajectories."""
+    from box2d_mt_tpu import mutate, settings, shapes, world
+
+    def run():
+        st = scenes.pyramid(4)
+        out = []
+        for i in range(40):
+            if i == 10:
+                st, b = mutate.add_body(
+                    st, body_type=settings.DYNAMIC_BODY, position=(3.0, 6.0))
+                st, _ = mutate.add_fixture(
+                    st, b, shapes.Circle(0.4), density=2.0)
+            if i == 20:
+                st = mutate.apply_linear_impulse(st, 1, (2.0, 3.0),
+                                                 (0.0, 0.0))
+            st, _ = world.step(st, 1 / 60)
+            out.append(np.asarray(st.bodies.c))
+        return np.stack(out)
+
+    t1 = run()
+    t2 = run()
+    np.testing.assert_array_equal(t1, t2)
