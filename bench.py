@@ -17,6 +17,12 @@ import os
 import sys
 import time
 
+# persistent compilation cache: repeat bench/driver runs skip the 30-40s
+# cold compile per shape (first-ever run still pays it)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache-tpu")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -99,10 +105,73 @@ def main():
             "base_collide_prepare_post": round(t_vi1, 2),
         }
 
+    # north-star shape (BASELINE.md): 4096 vmapped pyramid(10) worlds
+    if os.environ.get("BENCH_NORTHSTAR", "1") != "0":
+        ns_worlds = int(os.environ.get("BENCH_NS_WORLDS", "4096"))
+        ns_steps = int(os.environ.get("BENCH_NS_STEPS", "60"))
+        ns = replicate_state(state, ns_worlds)
+        roll_ns = make_rollout(ns_steps, velocity_iterations=8,
+                               position_iterations=3, max_colors=max_colors,
+                               kinds=kinds)
+        t0 = time.perf_counter()
+        on = roll_ns(ns, dt)
+        _sync(on)
+        ns_compile = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        on = roll_ns(ns, dt)
+        _sync(on)
+        ns_elapsed = time.perf_counter() - t0
+        detail["north_star_4096"] = {
+            "n_worlds": ns_worlds, "n_steps": ns_steps,
+            "worlds_steps_per_sec": round(
+                ns_worlds * ns_steps / ns_elapsed, 1),
+            "compile_s": round(ns_compile, 1),
+        }
+
+    # long-window (sleep-parity) measurement: 1000 steps of pyramid(10) —
+    # the window where the reference gains ~7x from the pyramid sleeping at
+    # ~step 100. With sleep parity + the all-asleep fast path, the engine
+    # must win this window too, not just the all-awake 60-step one.
+    if os.environ.get("BENCH_LONGWIN", "1") != "0":
+        lw_worlds = int(os.environ.get("BENCH_LW_WORLDS", "512"))
+        lw_steps = int(os.environ.get("BENCH_LW_STEPS", "1000"))
+        lw = replicate_state(state, lw_worlds)
+        roll_lw = make_rollout(lw_steps, velocity_iterations=8,
+                               position_iterations=3, max_colors=max_colors,
+                               kinds=kinds)
+        t0 = time.perf_counter()
+        ol = roll_lw(lw, dt)
+        _sync(ol)
+        lw_compile = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        ol = roll_lw(lw, dt)
+        _sync(ol)
+        lw_elapsed = time.perf_counter() - t0
+        asleep = not bool(np.asarray(
+            (ol.bodies.awake & (ol.bodies.body_type == 2)).any()))
+        lw_detail = {
+            "n_worlds": lw_worlds, "n_steps": lw_steps,
+            "worlds_steps_per_sec": round(
+                lw_worlds * lw_steps / lw_elapsed, 1),
+            "compile_s": round(lw_compile, 1),
+            "all_asleep_at_end": asleep,
+        }
+        ref_file0 = os.path.join(os.path.dirname(__file__), "tools",
+                                 "ref_baseline.json")
+        if os.path.exists(ref_file0):
+            with open(ref_file0) as f:
+                ref0 = json.load(f)
+            rk = f"pyramid{rows}_steps{lw_steps}_steps_per_sec"
+            if rk in ref0:
+                lw_detail["ref_steps_per_sec"] = ref0[rk]
+                lw_detail["vs_ref"] = round(
+                    lw_detail["worlds_steps_per_sec"] / ref0[rk], 2)
+        detail["long_window"] = lw_detail
+
     if with_big:
         big_rows = int(os.environ.get("BENCH_BIG_ROWS", "44"))  # ~990 bodies
         big_worlds = int(os.environ.get("BENCH_BIG_WORLDS", "16"))
-        big_steps = 10
+        big_steps = int(os.environ.get("BENCH_BIG_STEPS", "60"))
         big = replicate_state(scenes.pyramid(big_rows), big_worlds)
         nb_big = int(jnp.sum(big.bodies.body_type[0] >= 0))
         roll_big = make_rollout(big_steps, velocity_iterations=8,
@@ -116,11 +185,23 @@ def main():
         _sync(ob)
         big_elapsed = time.perf_counter() - t0
         detail["big_world"] = {
-            "n_bodies": nb_big, "n_worlds": big_worlds,
+            "n_bodies": nb_big, "n_worlds": big_worlds, "n_steps": big_steps,
             "worlds_steps_per_sec": round(
                 big_worlds * big_steps / big_elapsed, 1),
             "compile_s": round(big_compile, 1),
         }
+        # same-host reference comparison at the 1k-body shape, when measured
+        ref_file0 = os.path.join(os.path.dirname(__file__), "tools",
+                                 "ref_baseline.json")
+        if os.path.exists(ref_file0):
+            with open(ref_file0) as f:
+                ref0 = json.load(f)
+            rk = f"pyramid{big_rows}_steps{big_steps}_steps_per_sec"
+            if rk in ref0:
+                detail["big_world"]["ref_steps_per_sec"] = ref0[rk]
+                detail["big_world"]["vs_ref"] = round(
+                    detail["big_world"]["worlds_steps_per_sec"] / ref0[rk],
+                    2)
 
     # reference baseline: measured single-world steps/sec if recorded,
     # else 60 Hz real-time budget.
@@ -130,11 +211,17 @@ def main():
     if os.path.exists(ref_file):
         with open(ref_file) as f:
             ref = json.load(f)
-        # compare like-for-like step windows: the reference's long-window
-        # numbers are inflated ~7x by the pyramid falling asleep
-        ref_steps_per_sec = ref.get(
-            f"pyramid{rows}_steps{n_steps}_steps_per_sec",
-            ref.get(f"pyramid{rows}_steps_per_sec", ref_steps_per_sec))
+        # compare like-for-like step windows ONLY (long windows let the
+        # reference sleep the pyramid and inflate its steps/sec ~7x);
+        # a window with no measured reference row fails loudly instead of
+        # silently falling back to a mismatched window.
+        key = f"pyramid{rows}_steps{n_steps}_steps_per_sec"
+        if key not in ref:
+            raise KeyError(
+                f"tools/ref_baseline.json has no '{key}' — measure the "
+                f"reference at this exact (rows, steps) window with "
+                f"tools/golden_gen/refbench.cpp before comparing")
+        ref_steps_per_sec = ref[key]
     detail["ref_steps_per_sec"] = ref_steps_per_sec
 
     print(json.dumps({

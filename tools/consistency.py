@@ -1,0 +1,205 @@
+#!/usr/bin/env python
+"""Per-scene consistency + profile harness — the TestMT.cpp analog
+(Testbed/Framework/TestMT.cpp:50-231): every scene in models/scenes.py
+(plus a bullet/CCD scene and a mutation sequence) is swept through
+
+  * run-to-run bit equality (two rollouts of the same program),
+  * cross-lane bit equality (every lane of a replicated batch vs lane 0),
+  * optionally sharded-vs-unsharded bit equality (--shard, needs >= 2
+    devices: set XLA_FLAGS=--xla_force_host_platform_device_count=8),
+
+and timed. One CSV row per scene: name, bodies, steps, pass/fail per
+check, steps/sec, like the reference's timestamped CSV report
+(TestMT.cpp:146-186).
+
+Usage: python tools/consistency.py [--steps N] [--shard] [--out FILE.csv]
+"""
+
+import argparse
+import csv
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache-cpu")
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_platforms", os.environ.get("CONSISTENCY_PLATFORM",
+                                                  "cpu"))
+
+
+def _bullet_scene():
+    """CCD-heavy scene: a stream of bullets vs a thin wall — exercises the
+    TOI while-loop's round gating, exactly where batch-dependent
+    nondeterminism would hide."""
+    from box2d_mt_tpu import settings, shapes
+    from box2d_mt_tpu.world import WorldBuilder
+    wb = WorldBuilder(gravity=(0.0, -10.0))
+    ground = wb.create_body()
+    wb.create_fixture(ground, shapes.Edge((-30.0, 0.0), (30.0, 0.0)))
+    wall = wb.create_body(position=(10.0, 3.0))
+    wb.create_fixture(wall, shapes.Polygon.box(0.05, 3.0))
+    for i in range(6):
+        b = wb.create_body(body_type=settings.DYNAMIC_BODY,
+                           position=(-8.0 - 1.5 * i, 1.0 + 0.8 * i),
+                           bullet=True, linear_velocity=(120.0, 0.0))
+        wb.create_fixture(b, shapes.Circle(0.1), density=5.0,
+                          restitution=0.3)
+    return wb.freeze()
+
+
+def _mutation_sequence():
+    """Deterministic between-step mutation sequence on a pyramid: spawn,
+    impulse, joint creation — checks the mutation API is itself
+    reproducible inside the sweep."""
+    from box2d_mt_tpu import mutate, settings, shapes
+    from box2d_mt_tpu.models import scenes
+
+    base = scenes.pyramid(4)
+
+    def run(batched_steps):
+        st = base
+        out = []
+        from box2d_mt_tpu import world
+        for i in range(batched_steps):
+            if i == 10:
+                st, b = mutate.add_body(
+                    st, body_type=settings.DYNAMIC_BODY, position=(3.0, 6.0))
+                st, _ = mutate.add_fixture(
+                    st, b, shapes.Circle(0.4), density=2.0)
+            if i == 20:
+                st = mutate.apply_linear_impulse(
+                    st, 1, (2.0, 3.0), (0.0, 0.0))
+            st, _ = world.step(st, 1 / 60)
+            out.append(np.asarray(st.bodies.c))
+        return np.stack(out)
+
+    return run
+
+
+def scene_list(steps):
+    from box2d_mt_tpu.models import scenes
+    return [
+        ("hello_world", scenes.hello_world, steps),
+        ("falling_circle", scenes.falling_circle, steps),
+        ("vertical_stack10", lambda: scenes.vertical_stack(10), steps),
+        ("pyramid10", lambda: scenes.pyramid(10), steps),
+        ("revolute_pendulum", scenes.revolute_pendulum, steps),
+        ("distance_pendulum", scenes.distance_pendulum, steps),
+        ("prismatic_slide", scenes.prismatic_slide, steps),
+        ("tumbler80", lambda: scenes.tumbler(80), steps),
+        ("weld_pendulum", scenes.weld_pendulum, steps),
+        ("weld_soft", lambda: scenes.weld_pendulum(soft=True), steps),
+        ("friction_top_down", scenes.friction_top_down, steps),
+        ("rope_swing", scenes.rope_swing, steps),
+        ("motor_drive", scenes.motor_drive, steps),
+        ("wheel_car", scenes.wheel_car, steps),
+        ("gear_train", scenes.gear_train, steps),
+        ("pulley_pair", scenes.pulley_pair, steps),
+        ("multithread_demo200", lambda: scenes.multithread_demo(200), steps),
+        ("many_bodies400", lambda: scenes.many_bodies(400, 2.5), steps),
+        ("bullet_wall", _bullet_scene, steps),
+    ]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=120)
+    ap.add_argument("--shard", action="store_true")
+    ap.add_argument("--lanes", type=int, default=4)
+    ap.add_argument("--out", default="consistency_report.csv")
+    args = ap.parse_args()
+
+    from box2d_mt_tpu import world
+    from box2d_mt_tpu.parallel.sharding import (make_rollout,
+                                                make_sharded_step,
+                                                replicate_state)
+
+    mesh = None
+    if args.shard:
+        from jax.sharding import Mesh
+        devs = jax.devices()
+        nd = max(d for d in (2, 4, 8) if d <= len(devs))
+        mesh = Mesh(np.array(devs[:nd]), axis_names=("worlds",))
+
+    rows = []
+    for name, build, steps in scene_list(args.steps):
+        t0 = time.perf_counter()
+        state = build()
+        kinds = world.possible_kinds(state)
+        n_bodies = int(np.sum(np.asarray(state.bodies.body_type) >= 0))
+        lanes = args.lanes
+        batched = replicate_state(state, lanes)
+        roll = make_rollout(steps, kinds=kinds)
+        dt = jnp.float32(1 / 60)
+
+        out1 = roll(batched, dt)
+        t1 = time.perf_counter()
+        out2 = roll(batched, dt)
+        elapsed = time.perf_counter() - t1
+
+        c1 = np.asarray(out1.bodies.c)
+        a1 = np.asarray(out1.bodies.a)
+        w1 = np.asarray(out1.bodies.awake)
+        rerun_ok = (np.array_equal(c1, np.asarray(out2.bodies.c))
+                    and np.array_equal(a1, np.asarray(out2.bodies.a))
+                    and np.array_equal(w1, np.asarray(out2.bodies.awake)))
+        lane_ok = all(
+            np.array_equal(c1[k], c1[0]) and np.array_equal(a1[k], a1[0])
+            and np.array_equal(w1[k], w1[0]) for k in range(1, lanes))
+        nan_ok = not np.any(np.isnan(c1))
+
+        shard_ok = ""
+        if mesh is not None:
+            step_fn, shard_state = make_sharded_step(mesh, kinds=kinds)
+            n_sh = mesh.devices.size * 2
+            b2 = replicate_state(state, n_sh)
+            sh = shard_state(b2)
+            pl = b2
+            for _ in range(min(steps, 30)):
+                pl, _ = world.step_batched(pl, dt, kinds=kinds)
+                sh, _ = step_fn(sh, dt)
+            shard_ok = bool(
+                np.array_equal(np.asarray(sh.bodies.c),
+                               np.asarray(pl.bodies.c))
+                and np.array_equal(np.asarray(sh.bodies.awake),
+                                   np.asarray(pl.bodies.awake)))
+
+        total = time.perf_counter() - t0
+        row = dict(
+            scene=name, bodies=n_bodies, steps=steps, lanes=lanes,
+            rerun_bitexact=rerun_ok, lanes_bitexact=lane_ok, no_nan=nan_ok,
+            sharded_bitexact=shard_ok,
+            steps_per_sec=round(lanes * steps / elapsed, 1),
+            wall_s=round(total, 1),
+            passed=bool(rerun_ok and lane_ok and nan_ok
+                        and (shard_ok in ("", True))))
+        rows.append(row)
+        print(",".join(str(v) for v in row.values()), flush=True)
+
+    # mutation-sequence reproducibility (not a rollout — host-driven)
+    run = _mutation_sequence()
+    tr1 = run(40)
+    tr2 = run(40)
+    mut_ok = np.array_equal(tr1, tr2)
+    rows.append(dict(scene="mutation_sequence", bodies="-", steps=40,
+                     lanes=1, rerun_bitexact=mut_ok, lanes_bitexact="",
+                     no_nan=not np.any(np.isnan(tr1)), sharded_bitexact="",
+                     steps_per_sec="", wall_s="", passed=bool(mut_ok)))
+    print(f"mutation_sequence passed={mut_ok}", flush=True)
+
+    with open(args.out, "w", newline="") as f:
+        wtr = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+        wtr.writeheader()
+        wtr.writerows(rows)
+    n_fail = sum(1 for r in rows if not r["passed"])
+    print(f"\n{len(rows)} scenes, {n_fail} failures -> {args.out}")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
