@@ -27,6 +27,24 @@ import pytest  # noqa: E402
 GOLDEN = pathlib.Path(__file__).parent / "golden"
 
 
+_last_module = [None]
+
+
+@pytest.fixture(autouse=True)
+def _clear_jax_caches_per_module(request):
+    """Drop JAX's in-memory executable caches at each test-module boundary.
+    One pytest process compiles ~100 distinct XLA programs across the
+    suite; the accumulated live executables eventually segfault the CPU
+    backend's JIT on this host (observed deterministically around program
+    ~70). The persistent on-disk compilation cache (conftest sets
+    JAX_COMPILATION_CACHE_DIR) makes the post-clear reloads cheap."""
+    mod = request.module.__name__
+    if _last_module[0] is not None and mod != _last_module[0]:
+        jax.clear_caches()
+    _last_module[0] = mod
+    yield
+
+
 def load_jsonl(name):
     with open(GOLDEN / name) as f:
         return [json.loads(line) for line in f]
