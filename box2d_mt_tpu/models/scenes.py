@@ -271,3 +271,710 @@ def pulley_pair():
     wb.create_pulley_joint(a, b, (-2.0, 10.0), (2.0, 10.0),
                            (-2.0, 5.5), (2.0, 6.0), 1.5)
     return wb.freeze()
+
+
+# ---------------------------------------------------------------------------
+# Round-3 zoo expansion: the remaining notable Testbed scenes, rebuilt on the
+# TPU API with the reference's exact parameters (sources cited per scene).
+# ---------------------------------------------------------------------------
+
+def dominos():
+    """Testbed/Tests/Dominos.h — platforms, a row of dominos, seesaw plate
+    on a revolute, a swinging box, a 3-fixture cradle and small circles."""
+    wb = WorldBuilder(gravity=(0.0, -10.0))
+    box = shapes.Polygon.box
+    b1 = wb.create_body()
+    wb.create_fixture(b1, shapes.Edge((-40.0, 0.0), (40.0, 0.0)))
+    shelf1 = wb.create_body(position=(-1.5, 10.0))
+    wb.create_fixture(shelf1, box(6.0, 0.25))
+    for i in range(10):
+        d = wb.create_body(body_type=settings.DYNAMIC_BODY,
+                           position=(-6.0 + 1.0 * i, 11.25))
+        wb.create_fixture(d, box(0.1, 1.0), density=20.0, friction=0.1)
+    shelf2 = wb.create_body(position=(1.0, 6.0))
+    wb.create_fixture(shelf2, box(7.0, 0.25, (0.0, 0.0), 0.3))
+    b2 = wb.create_body(position=(-7.0, 4.0))
+    wb.create_fixture(b2, box(0.25, 1.5))
+    b3 = wb.create_body(body_type=settings.DYNAMIC_BODY,
+                        position=(-0.9, 1.0), angle=-0.15)
+    wb.create_fixture(b3, box(6.0, 0.125), density=10.0)
+    wb.create_revolute_joint(b1, b3, (-2.0, 1.0), collide_connected=True)
+    b4 = wb.create_body(body_type=settings.DYNAMIC_BODY, position=(-10.0, 15.0))
+    wb.create_fixture(b4, box(0.25, 0.25), density=10.0)
+    wb.create_revolute_joint(b2, b4, (-7.0, 15.0))
+    b5 = wb.create_body(body_type=settings.DYNAMIC_BODY, position=(6.5, 3.0))
+    wb.create_fixture(b5, box(1.0, 0.1, (0.0, -0.9), 0.0), density=10.0,
+                      friction=0.1)
+    wb.create_fixture(b5, box(0.1, 1.0, (-0.9, 0.0), 0.0), density=10.0,
+                      friction=0.1)
+    wb.create_fixture(b5, box(0.1, 1.0, (0.9, 0.0), 0.0), density=10.0,
+                      friction=0.1)
+    wb.create_revolute_joint(b1, b5, (6.0, 2.0))
+    b6 = wb.create_body(body_type=settings.DYNAMIC_BODY, position=(6.5, 4.1))
+    wb.create_fixture(b6, box(1.0, 0.1), density=30.0)
+    wb.create_revolute_joint(b5, b6, (7.5, 4.0))
+    b7 = wb.create_body(body_type=settings.DYNAMIC_BODY, position=(7.4, 1.0))
+    wb.create_fixture(b7, box(0.1, 1.0), density=10.0)
+    # reference uses explicit local anchors (6,0)/(0,-1) — world points
+    # below reproduce them given the build poses (b3 angle -0.15)
+    import math as _m
+    c, s = _m.cos(-0.15), _m.sin(-0.15)
+    wa = (-0.9 + c * 6.0, 1.0 + s * 6.0)
+    wb_pt = (7.4, 0.0)
+    wb.create_distance_joint(b3, b7, wa, wb_pt)
+    for i in range(4):
+        c_ = wb.create_body(body_type=settings.DYNAMIC_BODY,
+                            position=(5.9 + 2.0 * 0.2 * i, 2.4))
+        wb.create_fixture(c_, shapes.Circle(0.2), density=10.0)
+    return wb.freeze()
+
+
+def web():
+    """Testbed/Tests/Web.h — 4 boxes suspended by 8 soft distance joints
+    (freq 2 Hz) anchored to the corners and to each other."""
+    wb = WorldBuilder(gravity=(0.0, -10.0))
+    ground = wb.create_body()
+    wb.create_fixture(ground, shapes.Edge((-40.0, 0.0), (40.0, 0.0)))
+    box = shapes.Polygon.box(0.5, 0.5)
+    pos = [(-5.0, 5.0), (5.0, 5.0), (5.0, 15.0), (-5.0, 15.0)]
+    bodies = []
+    for p in pos:
+        b = wb.create_body(body_type=settings.DYNAMIC_BODY, position=p)
+        wb.create_fixture(b, box, density=5.0)
+        bodies.append(b)
+    # corner anchors: (ground local, body local) per Web.h:60-120
+    corner = [((-10.0, 0.0), (-0.5, -0.5)), ((10.0, 0.0), (0.5, -0.5)),
+              ((10.0, 20.0), (0.5, 0.5)), ((-10.0, 20.0), (-0.5, 0.5))]
+    for i, (ga, la) in enumerate(corner):
+        wa = (pos[i][0] + la[0], pos[i][1] + la[1])
+        wb.create_distance_joint(ground, bodies[i], ga, wa, frequency=2.0)
+    inner = [(0, 1, (0.5, 0.0), (-0.5, 0.0)), (1, 2, (0.0, 0.5), (0.0, -0.5)),
+             (2, 3, (-0.5, 0.0), (0.5, 0.0)), (3, 0, (0.0, -0.5), (0.0, 0.5))]
+    for a, b, la, lb in inner:
+        wa = (pos[a][0] + la[0], pos[a][1] + la[1])
+        wbp = (pos[b][0] + lb[0], pos[b][1] + lb[1])
+        wb.create_distance_joint(bodies[a], bodies[b], wa, wbp, frequency=2.0)
+    return wb.freeze()
+
+
+def bridge(n=30):
+    """Testbed/Tests/Bridge.h — n revolute-chained planks + 2 triangle
+    polygons and 3 circles dropped on top."""
+    wb = WorldBuilder(gravity=(0.0, -10.0))
+    ground = wb.create_body()
+    wb.create_fixture(ground, shapes.Edge((-40.0, 0.0), (40.0, 0.0)))
+    plank = shapes.Polygon.box(0.5, 0.125)
+    prev = ground
+    for i in range(n):
+        b = wb.create_body(body_type=settings.DYNAMIC_BODY,
+                           position=(-14.5 + 1.0 * i, 5.0))
+        wb.create_fixture(b, plank, density=20.0, friction=0.2)
+        wb.create_revolute_joint(prev, b, (-15.0 + 1.0 * i, 5.0))
+        prev = b
+    wb.create_revolute_joint(prev, ground, (-15.0 + 1.0 * n, 5.0))
+    tri = shapes.Polygon.from_vertices([(-0.5, 0.0), (0.5, 0.0), (0.0, 1.5)])
+    for i in range(2):
+        b = wb.create_body(body_type=settings.DYNAMIC_BODY,
+                           position=(-8.0 + 8.0 * i, 12.0))
+        wb.create_fixture(b, tri, density=1.0)
+    for i in range(3):
+        b = wb.create_body(body_type=settings.DYNAMIC_BODY,
+                           position=(-6.0 + 6.0 * i, 10.0))
+        wb.create_fixture(b, shapes.Circle(0.5), density=1.0)
+    return wb.freeze()
+
+
+def cantilever(n=8):
+    """Testbed/Tests/Cantilever.h — weld-joint beams: a rigid chain, a soft
+    (5 Hz, 0.7 damping) chain, and a second rigid chain."""
+    wb = WorldBuilder(gravity=(0.0, -10.0))
+    ground = wb.create_body()
+    wb.create_fixture(ground, shapes.Edge((-40.0, 0.0), (40.0, 0.0)))
+    plank = shapes.Polygon.box(0.5, 0.125)
+    prev = ground
+    for i in range(n):
+        b = wb.create_body(body_type=settings.DYNAMIC_BODY,
+                           position=(-14.5 + 1.0 * i, 5.0))
+        wb.create_fixture(b, plank, density=20.0)
+        wb.create_weld_joint(prev, b, (-15.0 + 1.0 * i, 5.0))
+        prev = b
+    wide = shapes.Polygon.box(1.0, 0.125)
+    prev = ground
+    for i in range(3):
+        b = wb.create_body(body_type=settings.DYNAMIC_BODY,
+                           position=(-14.0 + 2.0 * i, 15.0))
+        wb.create_fixture(b, wide, density=20.0)
+        wb.create_weld_joint(prev, b, (-15.0 + 2.0 * i, 15.0),
+                             frequency=5.0, damping_ratio=0.7)
+        prev = b
+    prev = ground
+    for i in range(n):
+        b = wb.create_body(body_type=settings.DYNAMIC_BODY,
+                           position=(-4.5 + 1.0 * i, 5.0))
+        wb.create_fixture(b, plank, density=20.0)
+        wb.create_weld_joint(prev, b, (-5.0 + 1.0 * i, 5.0))
+        prev = b
+    return wb.freeze()
+
+
+def chain_links(n=30):
+    """Testbed/Tests/Chain.h — n planks revolute-chained off the ground at
+    y=25, swinging down under gravity."""
+    wb = WorldBuilder(gravity=(0.0, -10.0))
+    ground = wb.create_body()
+    wb.create_fixture(ground, shapes.Edge((-40.0, 0.0), (40.0, 0.0)))
+    plank = shapes.Polygon.box(0.6, 0.125)
+    y, prev = 25.0, ground
+    for i in range(n):
+        b = wb.create_body(body_type=settings.DYNAMIC_BODY,
+                           position=(0.5 + i, y))
+        wb.create_fixture(b, plank, density=20.0, friction=0.2)
+        wb.create_revolute_joint(prev, b, (float(i), y))
+        prev = b
+    return wb.freeze()
+
+
+def sphere_stack(n=10):
+    """Testbed/Tests/SphereStack.h — n unit circles dropped at -50 m/s."""
+    wb = WorldBuilder(gravity=(0.0, -10.0))
+    ground = wb.create_body()
+    wb.create_fixture(ground, shapes.Edge((-40.0, 0.0), (40.0, 0.0)))
+    for i in range(n):
+        b = wb.create_body(body_type=settings.DYNAMIC_BODY,
+                           position=(0.0, 4.0 + 3.0 * i),
+                           linear_velocity=(0.0, -50.0))
+        wb.create_fixture(b, shapes.Circle(1.0), density=1.0)
+    return wb.freeze()
+
+
+def heavy_on_light():
+    """Testbed/Tests/HeavyOnLight.h — a 10x-radius (100x-mass) circle
+    resting on a small one: mass-ratio stress for the solver."""
+    wb = WorldBuilder(gravity=(0.0, -10.0))
+    ground = wb.create_body()
+    wb.create_fixture(ground, shapes.Edge((-40.0, 0.0), (40.0, 0.0)))
+    light = wb.create_body(body_type=settings.DYNAMIC_BODY, position=(0.0, 0.5))
+    wb.create_fixture(light, shapes.Circle(0.5), density=10.0)
+    heavy = wb.create_body(body_type=settings.DYNAMIC_BODY, position=(0.0, 6.0))
+    wb.create_fixture(heavy, shapes.Circle(5.0), density=10.0)
+    return wb.freeze()
+
+
+def tiles(rows=20, ground_n=200, ground_m=10):
+    """Testbed/Tests/Tiles.h — pyramid of boxes on a ground made of many
+    square tile fixtures (broad-phase fixture-count stress)."""
+    wb = WorldBuilder(gravity=(0.0, -10.0))
+    a = 0.5
+    ground = wb.create_body(position=(0.0, -a))
+    y = 0.0
+    for _ in range(ground_m):
+        x = -ground_n * a
+        for _ in range(ground_n):
+            wb.create_fixture(ground, shapes.Polygon.box(a, a, (x, y), 0.0))
+            x += 2.0 * a
+        y -= 2.0 * a
+    box = shapes.Polygon.box(a, a)
+    x = (-7.0, 0.75)
+    for i in range(rows):
+        yv = x
+        for _ in range(i, rows):
+            b = wb.create_body(body_type=settings.DYNAMIC_BODY, position=yv)
+            wb.create_fixture(b, box, density=5.0)
+            yv = (yv[0] + 1.125, yv[1])
+        x = (x[0] + 0.5625, x[1] + 1.25)
+    return wb.freeze()
+
+
+def conveyor_belt():
+    """Testbed/Tests/ConveyorBelt.h — 5 boxes dropped on a static platform
+    (fixture index 1). Drive it by passing a pre_solve_fn that returns
+    tangent_speed=5 for contacts whose fixture A is the platform (the
+    SetTangentSpeed analog, b2Contact.h:157)."""
+    wb = WorldBuilder(gravity=(0.0, -10.0))
+    ground = wb.create_body()
+    wb.create_fixture(ground, shapes.Edge((-20.0, 0.0), (20.0, 0.0)))
+    platform = wb.create_body(position=(-5.0, 5.0))
+    wb.create_fixture(platform, shapes.Polygon.box(10.0, 0.5), friction=0.8)
+    for i in range(5):
+        b = wb.create_body(body_type=settings.DYNAMIC_BODY,
+                           position=(-10.0 + 2.0 * i, 7.0))
+        wb.create_fixture(b, shapes.Polygon.box(0.5, 0.5), density=20.0)
+    return wb.freeze()
+
+
+def one_sided_platform():
+    """Testbed/Tests/OneSidedPlatform.h — circle dropped at -50 m/s through
+    a platform (fixture 1); pair with a pre_solve_fn that disables the
+    contact while the character (fixture 2) is below the platform top."""
+    wb = WorldBuilder(gravity=(0.0, -10.0))
+    ground = wb.create_body()
+    wb.create_fixture(ground, shapes.Edge((-20.0, 0.0), (20.0, 0.0)))
+    platform = wb.create_body(position=(0.0, 10.0))
+    wb.create_fixture(platform, shapes.Polygon.box(3.0, 0.5))
+    actor = wb.create_body(body_type=settings.DYNAMIC_BODY,
+                           position=(0.0, 12.0),
+                           linear_velocity=(0.0, -50.0))
+    wb.create_fixture(actor, shapes.Circle(0.5), density=20.0)
+    return wb.freeze()
+
+
+def slider_crank():
+    """Testbed/Tests/BasicSliderCrank.h — crank / connecting rod / piston
+    (revolute + revolute + revolute + prismatic)."""
+    wb = WorldBuilder(gravity=(0.0, -10.0))
+    ground = wb.create_body(position=(0.0, 17.0))
+    crank = wb.create_body(body_type=settings.DYNAMIC_BODY,
+                           position=(-8.0, 20.0))
+    wb.create_fixture(crank, shapes.Polygon.box(4.0, 1.0), density=2.0)
+    wb.create_revolute_joint(ground, crank, (-12.0, 20.0))
+    rod = wb.create_body(body_type=settings.DYNAMIC_BODY, position=(4.0, 20.0))
+    wb.create_fixture(rod, shapes.Polygon.box(8.0, 1.0), density=2.0)
+    wb.create_revolute_joint(crank, rod, (-4.0, 20.0))
+    piston = wb.create_body(body_type=settings.DYNAMIC_BODY,
+                            position=(12.0, 20.0), fixed_rotation=True)
+    wb.create_fixture(piston, shapes.Polygon.box(3.0, 3.0), density=2.0)
+    wb.create_revolute_joint(rod, piston, (12.0, 20.0))
+    wb.create_prismatic_joint(ground, piston, (12.0, 17.0), (1.0, 0.0))
+    return wb.freeze()
+
+
+def add_pair(n=400, seed=7):
+    """Testbed/Tests/AddPair.h — zero gravity; a 1.5-half-extent bullet box
+    at 150 m/s plows through n tiny circles (broad-phase AddPair stress)."""
+    import random as _r
+    rng = _r.Random(seed)
+    wb = WorldBuilder(gravity=(0.0, 0.0))
+    circle = shapes.Circle(0.1)
+    for _ in range(n):
+        b = wb.create_body(body_type=settings.DYNAMIC_BODY,
+                           position=(rng.uniform(-6.0, 0.0),
+                                     rng.uniform(4.0, 6.0)))
+        wb.create_fixture(b, circle, density=0.01)
+    bullet = wb.create_body(body_type=settings.DYNAMIC_BODY,
+                            position=(-40.0, 5.0), bullet=True,
+                            linear_velocity=(150.0, 0.0))
+    wb.create_fixture(bullet, shapes.Polygon.box(1.5, 1.5), density=1.0)
+    return wb.freeze()
+
+
+def confined(columns=8, rows=6):
+    """Testbed/Tests/Confined.h — circles sealed in an edge box, zero
+    gravity (containment + resting-contact stress)."""
+    wb = WorldBuilder(gravity=(0.0, 0.0))
+    ground = wb.create_body()
+    wb.create_fixture(ground, shapes.Edge((-10.0, 0.0), (10.0, 0.0)))
+    wb.create_fixture(ground, shapes.Edge((-10.0, 0.0), (-10.0, 20.0)))
+    wb.create_fixture(ground, shapes.Edge((10.0, 0.0), (10.0, 20.0)))
+    wb.create_fixture(ground, shapes.Edge((-10.0, 20.0), (10.0, 20.0)))
+    r = 0.5
+    for j in range(columns):
+        for i in range(rows):
+            b = wb.create_body(
+                body_type=settings.DYNAMIC_BODY,
+                position=(-10.0 + (2.1 * j + 1.0 + 0.01 * i) * r,
+                          (2.0 * i + 1.0) * r))
+            wb.create_fixture(b, shapes.Circle(r), density=1.0, friction=0.1)
+    return wb.freeze()
+
+
+def mobile(depth=4):
+    """Testbed/Tests/Mobile.h — balanced binary tree of slats hung on
+    revolute joints from a ground point."""
+    wb = WorldBuilder(gravity=(0.0, -10.0))
+    ground = wb.create_body(position=(0.0, 20.0))
+    a = 0.5
+    positions = {ground: (0.0, 20.0)}
+
+    def add_node(parent, local_anchor, d, offset):
+        px, py = positions[parent]
+        p = (px + local_anchor[0], py + local_anchor[1] - a)
+        body = wb.create_body(body_type=settings.DYNAMIC_BODY, position=p)
+        wb.create_fixture(body, shapes.Polygon.box(0.25 * a, a), density=20.0)
+        positions[body] = p
+        if d == depth:
+            return body
+        for s in (1.0, -1.0):
+            child = add_node(body, (s * offset, -a), d + 1, 0.5 * offset)
+            wb.create_revolute_joint(body, child,
+                                     (p[0] + s * offset, p[1] - a))
+        return body
+
+    root = add_node(ground, (0.0, 0.0), 0, 3.0)
+    wb.create_revolute_joint(ground, root, (0.0, 20.0))
+    return wb.freeze()
+
+
+def body_types():
+    """Testbed/Tests/BodyTypes.h — attachment + motorized platform
+    (revolute motor + prismatic motor/limit) + payload box. The reference
+    flips the platform's body type at runtime (mutate.set_body_type)."""
+    wb = WorldBuilder(gravity=(0.0, -10.0))
+    import math as _m
+    ground = wb.create_body()
+    wb.create_fixture(ground, shapes.Edge((-20.0, 0.0), (20.0, 0.0)))
+    attachment = wb.create_body(body_type=settings.DYNAMIC_BODY,
+                                position=(0.0, 3.0))
+    wb.create_fixture(attachment, shapes.Polygon.box(0.5, 2.0), density=2.0)
+    platform = wb.create_body(body_type=settings.DYNAMIC_BODY,
+                              position=(-4.0, 5.0))
+    wb.create_fixture(platform,
+                      shapes.Polygon.box(0.5, 4.0, (4.0, 0.0), 0.5 * _m.pi),
+                      density=2.0, friction=0.6)
+    wb.create_revolute_joint(attachment, platform, (0.0, 5.0),
+                             enable_motor=True, max_motor_torque=50.0)
+    wb.create_prismatic_joint(ground, platform, (0.0, 5.0), (1.0, 0.0),
+                              enable_motor=True, max_motor_force=1000.0,
+                              enable_limit=True, lower_translation=-10.0,
+                              upper_translation=10.0)
+    payload = wb.create_body(body_type=settings.DYNAMIC_BODY,
+                             position=(0.0, 8.0))
+    wb.create_fixture(payload, shapes.Polygon.box(0.75, 0.75), density=2.0,
+                      friction=0.6)
+    return wb.freeze()
+
+
+def varying_friction():
+    """Testbed/Tests/VaryingFriction.h — 5 boxes with friction 0.75..0 on
+    a zig-zag of ramps."""
+    wb = WorldBuilder(gravity=(0.0, -10.0))
+    box = shapes.Polygon.box
+    g = wb.create_body()
+    wb.create_fixture(g, shapes.Edge((-40.0, 0.0), (40.0, 0.0)))
+    for pos, ang, hx, hy in [((-4.0, 22.0), -0.25, 13.0, 0.25),
+                             ((10.5, 19.0), 0.0, 0.25, 1.0),
+                             ((4.0, 14.0), 0.25, 13.0, 0.25),
+                             ((-10.5, 11.0), 0.0, 0.25, 1.0),
+                             ((-4.0, 6.0), -0.25, 13.0, 0.25)]:
+        r = wb.create_body(position=pos, angle=ang)
+        wb.create_fixture(r, box(hx, hy))
+    for i, fr in enumerate([0.75, 0.5, 0.35, 0.1, 0.0]):
+        b = wb.create_body(body_type=settings.DYNAMIC_BODY,
+                           position=(-15.0 + 4.0 * i, 28.0))
+        wb.create_fixture(b, box(0.5, 0.5), density=25.0, friction=fr)
+    return wb.freeze()
+
+
+def varying_restitution():
+    """Testbed/Tests/VaryingRestitution.h — 7 circles with restitution
+    0..1 bouncing on the ground."""
+    wb = WorldBuilder(gravity=(0.0, -10.0))
+    g = wb.create_body()
+    wb.create_fixture(g, shapes.Edge((-40.0, 0.0), (40.0, 0.0)))
+    for i, rest in enumerate([0.0, 0.1, 0.3, 0.5, 0.75, 0.9, 1.0]):
+        b = wb.create_body(body_type=settings.DYNAMIC_BODY,
+                           position=(-10.0 + 3.0 * i, 20.0))
+        wb.create_fixture(b, shapes.Circle(1.0), density=1.0,
+                          restitution=rest)
+    return wb.freeze()
+
+
+def compound_shapes(n=10, seed=3):
+    """Testbed/Tests/CompoundShapes.h — columns of 2-fixture bodies:
+    circle pairs, box pairs, and rotated-triangle pairs."""
+    import random as _r
+    import math as _m
+    rng = _r.Random(seed)
+    wb = WorldBuilder(gravity=(0.0, -10.0))
+    g = wb.create_body()
+    wb.create_fixture(g, shapes.Edge((50.0, 0.0), (-50.0, 0.0)))
+    c1 = shapes.Circle(0.5, (-0.5, 0.5))
+    c2 = shapes.Circle(0.5, (0.5, 0.5))
+    for i in range(n):
+        b = wb.create_body(body_type=settings.DYNAMIC_BODY,
+                           position=(rng.uniform(-0.1, 0.1) + 5.0,
+                                     1.05 + 2.5 * i),
+                           angle=rng.uniform(-_m.pi, _m.pi))
+        wb.create_fixture(b, c1, density=2.0)
+        wb.create_fixture(b, c2, density=0.0)
+    p1 = shapes.Polygon.box(0.25, 0.5)
+    p2 = shapes.Polygon.box(0.25, 0.5, (0.0, -0.5), 0.5 * _m.pi)
+    for i in range(n):
+        b = wb.create_body(body_type=settings.DYNAMIC_BODY,
+                           position=(rng.uniform(-0.1, 0.1) - 5.0,
+                                     1.05 + 2.5 * i),
+                           angle=rng.uniform(-_m.pi, _m.pi))
+        wb.create_fixture(b, p1, density=2.0)
+        wb.create_fixture(b, p2, density=2.0)
+
+    def _tri(sign):
+        q = 0.3524 * _m.pi * sign
+        c, s = _m.cos(q), _m.sin(q)
+        px, py = c * sign, s * sign  # xf.p = ±q.GetXAxis()
+        pts = [(-1.0, 0.0), (1.0, 0.0), (0.0, 0.5)]
+        return shapes.Polygon.from_vertices(
+            [(c * x - s * y + px, s * x + c * y + py) for x, y in pts])
+
+    t1, t2 = _tri(1.0), _tri(-1.0)
+    for i in range(n):
+        b = wb.create_body(body_type=settings.DYNAMIC_BODY,
+                           position=(rng.uniform(-0.1, 0.1),
+                                     2.05 + 2.5 * i))
+        wb.create_fixture(b, t1, density=2.0)
+        wb.create_fixture(b, t2, density=2.0)
+    return wb.freeze()
+
+
+def car():
+    """Testbed/Tests/Car.h — 6-vertex chassis on two wheel-jointed wheels
+    (4 Hz, 0.7 damping, rear motor on) driving over hilly edge terrain, a
+    limited-revolute teeter and a 20-plank bridge, with 5 stacked boxes."""
+    wb = WorldBuilder(gravity=(0.0, -10.0))
+    ground = wb.create_body()
+    e = lambda a, b: wb.create_fixture(
+        ground, shapes.Edge(a, b), friction=0.6)
+    e((-20.0, 0.0), (20.0, 0.0))
+    hs = [0.25, 1.0, 4.0, 0.0, 0.0, -1.0, -2.0, -2.0, -1.25, 0.0]
+    x, y1, dx = 20.0, 0.0, 5.0
+    for _ in range(2):
+        for h in hs:
+            e((x, y1), (x + dx, h))
+            y1 = h
+            x += dx
+    e((x, 0.0), (x + 40.0, 0.0)); x += 80.0
+    e((x, 0.0), (x + 40.0, 0.0)); x += 40.0
+    e((x, 0.0), (x + 10.0, 5.0)); x += 20.0
+    e((x, 0.0), (x + 40.0, 0.0)); x += 40.0
+    e((x, 0.0), (x, 20.0))
+    # teeter: ±8° revolute limit, kicked by a 100 N·m·s angular impulse
+    import math as _m
+    teeter = wb.create_body(body_type=settings.DYNAMIC_BODY,
+                            position=(140.0, 1.0))
+    wb.create_fixture(teeter, shapes.Polygon.box(10.0, 0.25), density=1.0)
+    md = shapes.Polygon.box(10.0, 0.25).compute_mass(1.0)
+    wb._bodies[teeter].angular_velocity = 100.0 / md.inertia
+    wb.create_revolute_joint(ground, teeter, (140.0, 1.0),
+                             enable_limit=True,
+                             lower_angle=-8.0 * _m.pi / 180.0,
+                             upper_angle=8.0 * _m.pi / 180.0)
+    prev = ground
+    for i in range(20):
+        b = wb.create_body(body_type=settings.DYNAMIC_BODY,
+                           position=(161.0 + 2.0 * i, -0.125))
+        wb.create_fixture(b, shapes.Polygon.box(1.0, 0.125), density=1.0,
+                          friction=0.6)
+        wb.create_revolute_joint(prev, b, (160.0 + 2.0 * i, -0.125))
+        prev = b
+    wb.create_revolute_joint(prev, ground, (160.0 + 2.0 * 20, -0.125))
+    for i in range(5):
+        b = wb.create_body(body_type=settings.DYNAMIC_BODY,
+                           position=(230.0, 0.5 + i))
+        wb.create_fixture(b, shapes.Polygon.box(0.5, 0.5), density=0.5)
+    chassis = wb.create_body(body_type=settings.DYNAMIC_BODY,
+                             position=(0.0, 1.0))
+    wb.create_fixture(chassis, shapes.Polygon.from_vertices(
+        [(-1.5, -0.5), (1.5, -0.5), (1.5, 0.0), (0.0, 0.9),
+         (-1.15, 0.9), (-1.5, 0.2)]), density=1.0)
+    w1 = wb.create_body(body_type=settings.DYNAMIC_BODY,
+                        position=(-1.0, 0.35))
+    wb.create_fixture(w1, shapes.Circle(0.4), density=1.0, friction=0.9)
+    w2 = wb.create_body(body_type=settings.DYNAMIC_BODY, position=(1.0, 0.4))
+    wb.create_fixture(w2, shapes.Circle(0.4), density=1.0, friction=0.9)
+    wb.create_wheel_joint(chassis, w1, (-1.0, 0.35), (0.0, 1.0),
+                          enable_motor=True, motor_speed=-30.0,
+                          max_motor_torque=20.0, frequency=4.0,
+                          damping_ratio=0.7)
+    wb.create_wheel_joint(chassis, w2, (1.0, 0.4), (0.0, 1.0),
+                          enable_motor=False, max_motor_torque=10.0,
+                          frequency=4.0, damping_ratio=0.7)
+    return wb.freeze()
+
+
+def sensor_zone(n=7):
+    """Testbed/Tests/SensorTest.h — a static sensor circle (r=5 at (0,10))
+    with n circles falling through it; exercises sensor begin/end events."""
+    wb = WorldBuilder(gravity=(0.0, -10.0))
+    ground = wb.create_body()
+    wb.create_fixture(ground, shapes.Edge((-40.0, 0.0), (40.0, 0.0)))
+    wb.create_fixture(ground, shapes.Circle(5.0, (0.0, 10.0)),
+                      is_sensor=True)
+    for i in range(n):
+        b = wb.create_body(body_type=settings.DYNAMIC_BODY,
+                           position=(-10.0 + 3.0 * i, 20.0))
+        wb.create_fixture(b, shapes.Circle(1.0), density=1.0)
+    return wb.freeze()
+
+
+def collision_filtering():
+    """Testbed/Tests/CollisionFiltering.h — group/category/mask demo:
+    small shapes (group +1) always collide, large ones (group -1) never,
+    boxes don't collide with triangles via mask bits."""
+    k_tri_cat, k_box_cat, k_circ_cat = 0x0002, 0x0004, 0x0008
+    k_tri_mask = 0xFFFF
+    k_box_mask = 0xFFFF ^ k_tri_cat
+    k_circ_mask = 0xFFFF
+    wb = WorldBuilder(gravity=(0.0, -10.0))
+    g = wb.create_body()
+    wb.create_fixture(g, shapes.Edge((-40.0, 0.0), (40.0, 0.0)),
+                      friction=0.3)
+    tri = [(-1.0, 0.0), (1.0, 0.0), (0.0, 2.0)]
+    small_tri = wb.create_body(body_type=settings.DYNAMIC_BODY,
+                               position=(-5.0, 2.0))
+    wb.create_fixture(small_tri, shapes.Polygon.from_vertices(tri),
+                      density=1.0, filter_group=1,
+                      filter_category=k_tri_cat, filter_mask=k_tri_mask)
+    big_tri = wb.create_body(body_type=settings.DYNAMIC_BODY,
+                             position=(-5.0, 6.0), fixed_rotation=True)
+    wb.create_fixture(big_tri,
+                      shapes.Polygon.from_vertices(
+                          [(2 * x, 2 * y) for x, y in tri]),
+                      density=1.0, filter_group=-1,
+                      filter_category=k_tri_cat, filter_mask=k_tri_mask)
+    dangler = wb.create_body(body_type=settings.DYNAMIC_BODY,
+                             position=(-5.0, 10.0))
+    wb.create_fixture(dangler, shapes.Polygon.box(0.5, 1.0), density=1.0)
+    wb.create_prismatic_joint(big_tri, dangler, (-5.0, 10.0), (0.0, 1.0),
+                              enable_limit=True, lower_translation=-1.0,
+                              upper_translation=1.0)
+    small_box = wb.create_body(body_type=settings.DYNAMIC_BODY,
+                               position=(0.0, 2.0))
+    wb.create_fixture(small_box, shapes.Polygon.box(1.0, 0.5),
+                      density=1.0, restitution=0.1, filter_group=1,
+                      filter_category=k_box_cat, filter_mask=k_box_mask)
+    big_box = wb.create_body(body_type=settings.DYNAMIC_BODY,
+                             position=(0.0, 6.0))
+    wb.create_fixture(big_box, shapes.Polygon.box(2.0, 1.0), density=1.0,
+                      restitution=0.1, filter_group=-1,
+                      filter_category=k_box_cat, filter_mask=k_box_mask)
+    small_circ = wb.create_body(body_type=settings.DYNAMIC_BODY,
+                                position=(5.0, 2.0))
+    wb.create_fixture(small_circ, shapes.Circle(1.0), density=1.0,
+                      filter_group=1, filter_category=k_circ_cat,
+                      filter_mask=k_circ_mask)
+    big_circ = wb.create_body(body_type=settings.DYNAMIC_BODY,
+                              position=(5.0, 6.0))
+    wb.create_fixture(big_circ, shapes.Circle(2.0), density=1.0,
+                      filter_group=-1, filter_category=k_circ_cat,
+                      filter_mask=k_circ_mask)
+    return wb.freeze()
+
+
+def pinball():
+    """Testbed/Tests/Pinball.h — chain-loop table, two motorized limited
+    flippers, and a bullet ball (CCD + chain + revolute limits)."""
+    import math as _m
+    wb = WorldBuilder(gravity=(0.0, -10.0))
+    ground = wb.create_body()
+    wb.create_fixture(ground, shapes.Chain(
+        [(0.0, -2.0), (8.0, 6.0), (8.0, 20.0), (-8.0, 20.0), (-8.0, 6.0)],
+        loop=True))
+    box = shapes.Polygon.box(1.75, 0.1)
+    left = wb.create_body(body_type=settings.DYNAMIC_BODY,
+                          position=(-2.0, 0.0))
+    wb.create_fixture(left, box, density=1.0)
+    right = wb.create_body(body_type=settings.DYNAMIC_BODY,
+                           position=(2.0, 0.0))
+    wb.create_fixture(right, box, density=1.0)
+    wb.create_revolute_joint(ground, left, (-2.0, 0.0),
+                             enable_motor=True, max_motor_torque=1000.0,
+                             motor_speed=-10.0, enable_limit=True,
+                             lower_angle=-30.0 * _m.pi / 180.0,
+                             upper_angle=5.0 * _m.pi / 180.0)
+    wb.create_revolute_joint(ground, right, (2.0, 0.0),
+                             enable_motor=True, max_motor_torque=1000.0,
+                             motor_speed=10.0, enable_limit=True,
+                             lower_angle=-5.0 * _m.pi / 180.0,
+                             upper_angle=30.0 * _m.pi / 180.0)
+    ball = wb.create_body(body_type=settings.DYNAMIC_BODY,
+                          position=(1.0, 15.0), bullet=True)
+    wb.create_fixture(ball, shapes.Circle(0.2), density=1.0)
+    return wb.freeze()
+
+
+def theo_jansen():
+    """Testbed/Tests/TheoJansen.h — Theo Jansen walker: chassis + motorized
+    wheel + 6 linkage legs (24 soft distance joints, 6 revolutes, group -1
+    self-filtering) walking over a floor of 40 small circles."""
+    import math as _m
+    off = (0.0, 8.0)
+    pivot = (0.0, 0.8)
+    wb = WorldBuilder(gravity=(0.0, -10.0))
+    ground = wb.create_body()
+    wb.create_fixture(ground, shapes.Edge((-50.0, 0.0), (50.0, 0.0)))
+    wb.create_fixture(ground, shapes.Edge((-50.0, 0.0), (-50.0, 10.0)))
+    wb.create_fixture(ground, shapes.Edge((50.0, 0.0), (50.0, 10.0)))
+    for i in range(40):
+        b = wb.create_body(body_type=settings.DYNAMIC_BODY,
+                           position=(-40.0 + 2.0 * i, 0.5))
+        wb.create_fixture(b, shapes.Circle(0.25), density=1.0)
+    chassis = wb.create_body(body_type=settings.DYNAMIC_BODY,
+                             position=(pivot[0] + off[0], pivot[1] + off[1]))
+    wb.create_fixture(chassis, shapes.Polygon.box(2.5, 1.0), density=1.0,
+                      filter_group=-1)
+    wheel = wb.create_body(body_type=settings.DYNAMIC_BODY,
+                           position=(pivot[0] + off[0], pivot[1] + off[1]))
+    wb.create_fixture(wheel, shapes.Circle(1.6), density=1.0,
+                      filter_group=-1)
+    wb.create_revolute_joint(wheel, chassis,
+                             (pivot[0] + off[0], pivot[1] + off[1]),
+                             enable_motor=True, motor_speed=2.0,
+                             max_motor_torque=400.0)
+    wheel_anchor = (pivot[0], pivot[1] - 0.8)
+
+    def leg(s, wheel_angle):
+        p1 = (5.4 * s, -6.1)
+        p2 = (7.2 * s, -1.2)
+        p3 = (4.3 * s, -1.9)
+        p4 = (3.1 * s, 0.8)
+        p5 = (6.0 * s, 1.5)
+        p6 = (2.5 * s, 3.7)
+        if s > 0:
+            tri1 = [p1, p2, p3]
+            tri2 = [(0.0, 0.0), (p5[0] - p4[0], p5[1] - p4[1]),
+                    (p6[0] - p4[0], p6[1] - p4[1])]
+        else:
+            tri1 = [p1, p3, p2]
+            tri2 = [(0.0, 0.0), (p6[0] - p4[0], p6[1] - p4[1]),
+                    (p5[0] - p4[0], p5[1] - p4[1])]
+        b1 = wb.create_body(body_type=settings.DYNAMIC_BODY, position=off,
+                            angular_damping=10.0)
+        wb.create_fixture(b1, shapes.Polygon.from_vertices(tri1),
+                          density=1.0, filter_group=-1)
+        b2 = wb.create_body(body_type=settings.DYNAMIC_BODY,
+                            position=(p4[0] + off[0], p4[1] + off[1]),
+                            angular_damping=10.0)
+        wb.create_fixture(b2, shapes.Polygon.from_vertices(tri2),
+                          density=1.0, filter_group=-1)
+        w = lambda p: (p[0] + off[0], p[1] + off[1])
+        wb.create_distance_joint(b1, b2, w(p2), w(p5), frequency=10.0,
+                                 damping_ratio=0.5)
+        wb.create_distance_joint(b1, b2, w(p3), w(p4), frequency=10.0,
+                                 damping_ratio=0.5)
+        # wheel-attached anchors: the reference rotates the wheel between
+        # leg batches (SetTransform, TheoJansen.h:204-210) so each pair
+        # grabs a different wheel-local point; replicate via explicit
+        # local anchors on the rotated wheel.
+        wa_world = w(wheel_anchor)
+        c, sn = _m.cos(wheel_angle), _m.sin(wheel_angle)
+        wheel_pos = (pivot[0] + off[0], pivot[1] + off[1])
+        dxw = wa_world[0] - wheel_pos[0]
+        dyw = wa_world[1] - wheel_pos[1]
+        wheel_local = (c * dxw + sn * dyw, -sn * dxw + c * dyw)
+        j1 = wb.create_distance_joint(b1, wheel, w(p3), wa_world,
+                                      frequency=10.0, damping_ratio=0.5)
+        wb._joints["distance"][j1]["local_anchor_b"] = wheel_local
+        j2 = wb.create_distance_joint(b2, wheel, w(p6), wa_world,
+                                      frequency=10.0, damping_ratio=0.5)
+        wb._joints["distance"][j2]["local_anchor_b"] = wheel_local
+        wb.create_revolute_joint(b2, chassis, w(p4))
+
+    for ang in (0.0, 120.0 * _m.pi / 180.0, -120.0 * _m.pi / 180.0):
+        leg(-1.0, ang)
+        leg(1.0, ang)
+    return wb.freeze()
+
+
+def breakable():
+    """Testbed/Tests/Breakable.h — one body with two half-box fixtures
+    dropped from 40 m; the reference splits it on hard impact via
+    PostSolve + fixture destruction (mutate.remove_fixture/add_body)."""
+    import math as _m
+    wb = WorldBuilder(gravity=(0.0, -10.0))
+    g = wb.create_body()
+    wb.create_fixture(g, shapes.Edge((-40.0, 0.0), (40.0, 0.0)))
+    b = wb.create_body(body_type=settings.DYNAMIC_BODY,
+                       position=(0.0, 40.0), angle=0.25 * _m.pi)
+    wb.create_fixture(b, shapes.Polygon.box(0.5, 0.5, (-0.5, 0.0), 0.0),
+                      density=1.0)
+    wb.create_fixture(b, shapes.Polygon.box(0.5, 0.5, (0.5, 0.0), 0.0),
+                      density=1.0)
+    return wb.freeze()

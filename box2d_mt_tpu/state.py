@@ -187,6 +187,58 @@ class Contacts:
 
 
 @_pytree
+class SolverCache:
+    """Cross-step cache of the graph passes (island labels + constraint
+    coloring). Both depend only on the contact/joint GRAPH, not on
+    positions, so between contact begin/end events they are identical
+    step to step — the analog of the reference keeping its island and
+    contact structures alive between steps rather than rebuilding them.
+    The step compares the stored signatures against this step's values
+    (batch-globally) and skips the recompute on a match; any world
+    mutation that changes the graph changes a signature and invalidates
+    naturally. `valid` is False until the first recompute."""
+
+    valid: jax.Array          # () bool
+    labels: jax.Array         # (N,) i32 island labels
+    color: jax.Array          # (C,) i32
+    rank: jax.Array           # (C,) i32
+    color_overflow: jax.Array  # () i32
+    # island-labels signature
+    sig_solv: jax.Array       # (C,) bool solvable_contact
+    sig_ns: jax.Array         # (N,) bool non_static
+    sig_jact: jax.Array       # (J,) bool joint actives ((1,) if no joints)
+    sig_jba: jax.Array        # (J,) i32 joint body_a
+    sig_jbb: jax.Array        # (J,) i32
+    # coloring signature (on top of the above)
+    sig_f_a: jax.Array        # (C,) i32 pair table identity
+    sig_f_b: jax.Array        # (C,) i32
+    sig_cc: jax.Array         # (C,) bool cc_active
+    sig_dyn_a: jax.Array      # (C,) bool conflicting endpoints
+    sig_dyn_b: jax.Array      # (C,) bool
+
+
+def make_empty_cache(nb: int, nc: int, nj: int) -> SolverCache:
+    nj = max(nj, 1)
+    return SolverCache(
+        valid=jnp.asarray(False),
+        labels=jnp.full(nb, -1, jnp.int32),
+        color=jnp.full(nc, -1, jnp.int32),
+        rank=jnp.zeros(nc, jnp.int32),
+        color_overflow=jnp.int32(0),
+        sig_solv=jnp.zeros(nc, bool),
+        sig_ns=jnp.zeros(nb, bool),
+        sig_jact=jnp.zeros(nj, bool),
+        sig_jba=jnp.zeros(nj, jnp.int32),
+        sig_jbb=jnp.zeros(nj, jnp.int32),
+        sig_f_a=jnp.full(nc, -1, jnp.int32),
+        sig_f_b=jnp.full(nc, -1, jnp.int32),
+        sig_cc=jnp.zeros(nc, bool),
+        sig_dyn_a=jnp.zeros(nc, bool),
+        sig_dyn_b=jnp.zeros(nc, bool),
+    )
+
+
+@_pytree
 class State:
     """Complete world state; the pytree that `step` maps to a new instance."""
 
@@ -199,6 +251,7 @@ class State:
     pairs_dirty: jax.Array    # () bool — filter/fixture set changed since the
     # last pair refresh (the e_newFixture flag analog, b2World.h:252); forces
     # a broad-phase pair recompute even when no fat AABB moved.
+    cache: SolverCache        # cross-step island/coloring cache
 
 
 # --------------------------------------------------------------------------

@@ -36,7 +36,8 @@ import jax.numpy as jnp
 
 from . import settings, shapes
 from .math2d import rot_from_angle, rot_vec
-from .state import (Bodies, Contacts, Fixtures, Joints, State)
+from .state import (Bodies, Contacts, Fixtures, Joints, State,
+                    SolverCache, make_empty_cache)
 from .joints import make_empty_joints, joints_present, build_joint_arrays
 from .ops import broadphase, coloring, distance, islands, integrate
 from .ops.gather import gather_rows, gather_scalar, scatter_add, scatter_min_scalar, scatter_max_scalar
@@ -363,18 +364,27 @@ def _collide_b(states: State, kinds):
     return manifold, sensor, sensor_touch, ba, bb
 
 
-def _pre_solve(state: State, dt, warm_starting: bool, max_colors: int,
-               manifold: nph.Manifold, sensor, sensor_touch, enabled,
-               ba, bb) -> _PreSolve:
-    """Post-collide prep: touch transitions + warm-start id matching +
-    island/coloring/constraint init (b2Contact::Update + the head of
-    b2World::Solve). The manifolds themselves come from _collide_b;
-    `enabled` is the PreSolve contact-disable mask (SetEnabled semantics)."""
+class _PreTouch(NamedTuple):
+    """Stage-A products of the solve preamble (see _pre_touch)."""
+    contacts: Contacts
+    awake0: jax.Array         # (N,) pre-island-propagation awake
+    non_static: jax.Array     # (N,)
+    solvable: jax.Array       # (C,) solvable_contact
+    dyn_a: jax.Array          # (C,) conflicting endpoints
+    dyn_b: jax.Array
+    begin_touch: jax.Array
+    end_touch: jax.Array
+
+
+def _pre_touch(state: State, manifold: nph.Manifold, sensor, sensor_touch,
+               enabled, ba, bb) -> _PreTouch:
+    """Touch transitions + warm-start id matching + wake hits (the
+    b2Contact::Update tail) — everything of the solve preamble that does
+    NOT depend on the island labels. The graph passes (islands, coloring)
+    are hoisted to _step_active and gated cross-step on graph signatures."""
     bodies = state.bodies
-    fx = state.fixtures
     contacts = state.contacts
     nb = bodies.capacity
-    nf = fx.capacity
     nc = contacts.capacity
     pair_exists = contacts.f_a >= 0
 
@@ -398,12 +408,11 @@ def _pre_solve(state: State, dt, warm_starting: bool, max_colors: int,
 
     # touch transitions wake both bodies (non-sensor)
     changed = pair_exists & ~sensor & (touching != contacts.touching)
-    awake = bodies.awake
     wake_hits = scatter_max_scalar(
         nb, jnp.where(jnp.concatenate([changed, changed]),
                       jnp.concatenate([ba, bb]), nb),
         jnp.ones(2 * nc, jnp.int32), 0) > 0
-    awake = awake | wake_hits
+    awake0 = bodies.awake | wake_hits
     begin_touch = pair_exists & touching & ~contacts.touching
     end_touch = pair_exists & ~touching & contacts.touching
 
@@ -414,43 +423,41 @@ def _pre_solve(state: State, dt, warm_starting: bool, max_colors: int,
         m_ids=manifold.ids, m_count=m_count,
         normal_impulse=ni, tangent_impulse=ti, touching=touching)
 
-    # -------------------------------------------------- 2. Solve preamble
     non_static = bodies.exists & ~bodies.is_static & bodies.enabled
     dyn = bodies.is_dynamic & bodies.enabled
+    solvable = touching & ~sensor & pair_exists & enabled
+    # conflicting (dynamic) endpoints — one one-hot gather each (native
+    # batched gather costs ~25ns/element on TPU)
+    dyn_a = gather_scalar(dyn.astype(jnp.float32), ba) > 0.5
+    dyn_b = gather_scalar(dyn.astype(jnp.float32), bb) > 0.5
 
-    solvable_contact = touching & ~sensor & pair_exists & enabled
-    jb_a, jb_b, j_active = build_joint_arrays(state.joints)
-    if jb_a is not None:
-        edges_a = jnp.concatenate([ba, jb_a])
-        edges_b = jnp.concatenate([bb, jb_b])
-        edges_on = jnp.concatenate([solvable_contact, j_active])
-    else:
-        edges_a, edges_b, edges_on = ba, bb, solvable_contact
-    labels = islands.island_labels(nb, edges_a, edges_b, edges_on, non_static)
+    return _PreTouch(contacts=contacts, awake0=awake0,
+                     non_static=non_static, solvable=solvable,
+                     dyn_a=dyn_a, dyn_b=dyn_b,
+                     begin_touch=begin_touch, end_touch=end_touch)
 
-    awake = islands.propagate_awake(awake, labels, non_static)
 
-    solve_mask = awake & non_static
+def _pre_finish(state: State, pt: _PreTouch, labels, awake, cc_active,
+                color, rank, color_overflow, dt, warm_starting: bool,
+                ba, bb) -> _PreSolve:
+    """Stage B of the solve preamble: velocity integration + constraint
+    init + warm start, with the (possibly cache-reused) island labels and
+    coloring injected."""
+    bodies = state.bodies
+    contacts = pt.contacts
+
+    solve_mask = awake & pt.non_static
     # sweep start for CCD / broad-phase sweep (b2Island.cpp:203-207)
     c0 = jnp.where(solve_mask[:, None], bodies.c, bodies.c0)
     a0 = jnp.where(solve_mask, bodies.a, bodies.a0)
 
     v, w = integrate.integrate_velocities(
-        dataclasses.replace(bodies, awake=awake), state.gravity, dt, solve_mask)
-
-    # per-endpoint flags via one one-hot gather each (native batched gather
-    # costs ~25ns/element on TPU — poison for per-contact lookups)
-    flags = dyn.astype(jnp.float32) + 2.0 * awake.astype(jnp.float32)
-    fa = gather_scalar(flags, ba).astype(jnp.int32)
-    fb_ = gather_scalar(flags, bb).astype(jnp.int32)
-    dyn_a, awake_a = (fa & 1) > 0, (fa & 2) > 0
-    dyn_b, awake_b = (fb_ & 1) > 0, (fb_ & 2) > 0
-    cc_active = solvable_contact & ((dyn_a & awake_a) | (dyn_b & awake_b))
-    color, color_overflow, rank = coloring.color_constraints(
-        ba, bb, dyn_a, dyn_b, cc_active, nb, max_colors, with_rank=True)
+        dataclasses.replace(bodies, awake=awake), state.gravity, dt,
+        solve_mask)
 
     cc = csolver.init_contact_constraints(
-        contacts, fx, bodies, bodies.c, bodies.a, v, w, cc_active)
+        contacts, state.fixtures, bodies, bodies.c, bodies.a, v, w,
+        cc_active)
 
     dt_ratio = jnp.where(dt > 0, state.inv_dt0 * dt, 0.0)
     # plane-major body velocity state (3, N) [vx; vy; w] — one gather + one
@@ -465,11 +472,46 @@ def _pre_solve(state: State, dt, warm_starting: bool, max_colors: int,
         ti_it = jnp.zeros_like(contacts.tangent_impulse)
 
     return _PreSolve(
-        contacts=contacts, awake=awake, labels=labels, non_static=non_static,
-        solve_mask=solve_mask, c0=c0, a0=a0, cc=cc, color=color, rank=rank,
-        color_overflow=color_overflow, ni_it=ni_it, ti_it=ti_it, bs=bs,
-        ba=ba, bb=bb, cc_active=cc_active, dt_ratio=dt_ratio,
-        begin_touch=begin_touch, end_touch=end_touch)
+        contacts=contacts, awake=awake, labels=labels,
+        non_static=pt.non_static, solve_mask=solve_mask, c0=c0, a0=a0,
+        cc=cc, color=color, rank=rank, color_overflow=color_overflow,
+        ni_it=ni_it, ti_it=ti_it, bs=bs, ba=ba, bb=bb,
+        cc_active=cc_active, dt_ratio=dt_ratio,
+        begin_touch=pt.begin_touch, end_touch=pt.end_touch)
+
+
+def _cc_active_of(pt: _PreTouch, labels, ba, bb):
+    """Awake propagation + the solvable-and-someone-awake-dynamic mask."""
+    awake = islands.propagate_awake(pt.awake0, labels, pt.non_static)
+    aw_f = awake.astype(jnp.float32)
+    awake_a = gather_scalar(aw_f, ba) > 0.5
+    awake_b = gather_scalar(aw_f, bb) > 0.5
+    cc_active = pt.solvable & ((pt.dyn_a & awake_a) | (pt.dyn_b & awake_b))
+    return awake, cc_active
+
+
+def _pre_solve(state: State, dt, warm_starting: bool, max_colors: int,
+               manifold: nph.Manifold, sensor, sensor_touch, enabled,
+               ba, bb) -> _PreSolve:
+    """Ungated single-world preamble (tools/profiling entry): stage A +
+    islands + coloring + stage B, no cross-step cache."""
+    nb = state.bodies.capacity
+    pt = _pre_touch(state, manifold, sensor, sensor_touch, enabled, ba, bb)
+    jb_a, jb_b, j_active = build_joint_arrays(state.joints)
+    if jb_a is not None:
+        edges_a = jnp.concatenate([ba, jb_a])
+        edges_b = jnp.concatenate([bb, jb_b])
+        edges_on = jnp.concatenate([pt.solvable, j_active])
+    else:
+        edges_a, edges_b, edges_on = ba, bb, pt.solvable
+    labels = islands.island_labels(nb, edges_a, edges_b, edges_on,
+                                   pt.non_static)
+    awake, cc_active = _cc_active_of(pt, labels, ba, bb)
+    color, color_overflow, rank = coloring.color_constraints(
+        ba, bb, pt.dyn_a, pt.dyn_b, cc_active, nb, max_colors,
+        with_rank=True)
+    return _pre_finish(state, pt, labels, awake, cc_active, color, rank,
+                       color_overflow, dt, warm_starting, ba, bb)
 
 
 def _solve_middle_b(states: State, pre: _PreSolve, dt,
@@ -1735,15 +1777,90 @@ def _step_active(states, dt, velocity_iterations, position_iterations,
             enabled = hook_out
     else:
         enabled = jnp.ones(states.contacts.f_a.shape, bool)
-    pre = jax.vmap(
-        lambda s, m, sn, st_, en, a_, b_: _pre_solve(
-            s, dt, warm_starting, max_colors, m, sn, st_, en, a_, b_)
+    # ---- solve preamble with cross-step graph-pass caching: the island
+    # labels and constraint coloring depend only on the contact/joint
+    # graph, which between begin/end events is identical step to step.
+    # Compare batch-global signatures against state.cache and skip the
+    # recompute on a match (both branches are outside vmap, so lax.cond
+    # executes only one).
+    nb_ = states.bodies.capacity
+    cache = states.cache
+    pt = jax.vmap(
+        lambda s, m, sn, st_, en, a_, b_: _pre_touch(s, m, sn, st_, en,
+                                                     a_, b_)
     )(states, manifold, sensor, sensor_touch, enabled, ba, bb)
+    jb_a, jb_b, j_active = jax.vmap(
+        lambda s: build_joint_arrays(s.joints))(states) \
+        if joints_present(states.joints) else (None, None, None)
+
+    valid_all = jnp.all(cache.valid)
+    labels_same = valid_all \
+        & jnp.all(pt.solvable == cache.sig_solv) \
+        & jnp.all(pt.non_static == cache.sig_ns) \
+        & jnp.all(states.contacts.f_a == cache.sig_f_a) \
+        & jnp.all(states.contacts.f_b == cache.sig_f_b)
+    if jb_a is not None:
+        labels_same = labels_same \
+            & jnp.all(j_active == cache.sig_jact) \
+            & jnp.all(jb_a == cache.sig_jba) \
+            & jnp.all(jb_b == cache.sig_jbb)
+
+    def _labels_fresh(_):
+        if jb_a is not None:
+            ea = jnp.concatenate([ba, jb_a], axis=1)
+            eb = jnp.concatenate([bb, jb_b], axis=1)
+            eo = jnp.concatenate([pt.solvable, j_active], axis=1)
+        else:
+            ea, eb, eo = ba, bb, pt.solvable
+        return jax.vmap(
+            lambda a, b, o, n: islands.island_labels(nb_, a, b, o, n)
+        )(ea, eb, eo, pt.non_static)
+
+    labels = jax.lax.cond(labels_same, lambda _: cache.labels,
+                          _labels_fresh, 0)
+
+    awake, cc_active = jax.vmap(
+        lambda p, l, a_, b_: _cc_active_of(p, l, a_, b_)
+    )(pt, labels, ba, bb)
+
+    colors_same = labels_same \
+        & jnp.all(cc_active == cache.sig_cc) \
+        & jnp.all(pt.dyn_a == cache.sig_dyn_a) \
+        & jnp.all(pt.dyn_b == cache.sig_dyn_b)
+
+    def _colors_fresh(_):
+        return jax.vmap(
+            lambda a, b, da, db, cca: coloring.color_constraints(
+                a, b, da, db, cca, nb_, max_colors, with_rank=True)
+        )(ba, bb, pt.dyn_a, pt.dyn_b, cc_active)
+
+    color, color_overflow, rank = jax.lax.cond(
+        colors_same, lambda _: (cache.color, cache.color_overflow,
+                                cache.rank),
+        _colors_fresh, 0)
+
+    new_cache = SolverCache(
+        valid=jnp.ones(cache.valid.shape, bool),
+        labels=labels, color=color, rank=rank,
+        color_overflow=color_overflow,
+        sig_solv=pt.solvable, sig_ns=pt.non_static,
+        sig_jact=j_active if jb_a is not None else cache.sig_jact,
+        sig_jba=jb_a if jb_a is not None else cache.sig_jba,
+        sig_jbb=jb_b if jb_a is not None else cache.sig_jbb,
+        sig_f_a=states.contacts.f_a, sig_f_b=states.contacts.f_b,
+        sig_cc=cc_active, sig_dyn_a=pt.dyn_a, sig_dyn_b=pt.dyn_b)
+
+    pre = jax.vmap(
+        lambda s, p, l, aw, cca, co, rk, ov, a_, b_: _pre_finish(
+            s, p, l, aw, cca, co, rk, ov, dt, warm_starting, a_, b_)
+    )(states, pt, labels, awake, cc_active, color, rank, color_overflow,
+      ba, bb)
     mids, dropped = _solve_middle_b(states, pre, dt, velocity_iterations,
                                     position_iterations, warm_starting,
                                     max_colors)
     new_state, events = _post_solve_b(states, pre, dt, allow_sleep, mids,
                                       filter_fn)
+    new_state = dataclasses.replace(new_state, cache=new_cache)
     events = events._replace(
         color_overflow=events.color_overflow + dropped.astype(jnp.int32))
     if continuous and toi_rounds > 0:
@@ -2123,12 +2240,15 @@ class WorldBuilder:
         contacts = _empty_contacts(nc)
         joints = build_joints(self._joints, joint_capacity)
 
+        jb_a, _, _ = build_joint_arrays(joints)
+        nj = 0 if jb_a is None else jb_a.shape[0]
         state = State(
             bodies=bodies, fixtures=fixtures, contacts=contacts,
             joints=joints,
             gravity=jnp.asarray(self.gravity, jnp.float32),
             inv_dt0=jnp.float32(0.0),
             pairs_dirty=jnp.asarray(False),
+            cache=make_empty_cache(nb, nc, nj),
         )
         return _init_broadphase(state, filter_fn=filter_fn)
 

@@ -103,6 +103,31 @@ def scene_list(steps):
         ("multithread_demo200", lambda: scenes.multithread_demo(200), steps),
         ("many_bodies400", lambda: scenes.many_bodies(400, 2.5), steps),
         ("bullet_wall", _bullet_scene, steps),
+        # round-3 zoo expansion (TestEntries.cpp:81-146 parity)
+        ("dominos", scenes.dominos, steps),
+        ("web", scenes.web, steps),
+        ("bridge", lambda: scenes.bridge(12), steps),
+        ("cantilever", lambda: scenes.cantilever(4), steps),
+        ("chain_links", lambda: scenes.chain_links(10), steps),
+        ("sphere_stack", lambda: scenes.sphere_stack(5), steps),
+        ("heavy_on_light", scenes.heavy_on_light, steps),
+        ("tiles", lambda: scenes.tiles(4, 20, 2), steps),
+        ("conveyor_belt", scenes.conveyor_belt, steps),
+        ("one_sided_platform", scenes.one_sided_platform, steps),
+        ("slider_crank", scenes.slider_crank, steps),
+        ("add_pair", lambda: scenes.add_pair(60), steps),
+        ("confined", lambda: scenes.confined(4, 3), steps),
+        ("mobile", lambda: scenes.mobile(3), steps),
+        ("body_types", scenes.body_types, steps),
+        ("varying_friction", scenes.varying_friction, steps),
+        ("varying_restitution", scenes.varying_restitution, steps),
+        ("compound_shapes", lambda: scenes.compound_shapes(4), steps),
+        ("car", scenes.car, steps),
+        ("sensor_zone", scenes.sensor_zone, steps),
+        ("collision_filtering", scenes.collision_filtering, steps),
+        ("pinball", scenes.pinball, steps),
+        ("theo_jansen", scenes.theo_jansen, steps),
+        ("breakable", scenes.breakable, steps),
     ]
 
 
