@@ -593,10 +593,11 @@ def mobile(depth=4):
         positions[body] = p
         if d == depth:
             return body
-        for s in (1.0, -1.0):
-            child = add_node(body, (s * offset, -a), d + 1, 0.5 * offset)
-            wb.create_revolute_joint(body, child,
-                                     (p[0] + s * offset, p[1] - a))
+        # reference creates BOTH children, then both joints (Mobile.h:55-67)
+        c1 = add_node(body, (offset, -a), d + 1, 0.5 * offset)
+        c2 = add_node(body, (-offset, -a), d + 1, 0.5 * offset)
+        wb.create_revolute_joint(body, c1, (p[0] + offset, p[1] - a))
+        wb.create_revolute_joint(body, c2, (p[0] - offset, p[1] - a))
         return body
 
     root = add_node(ground, (0.0, 0.0), 0, 3.0)
@@ -977,4 +978,286 @@ def breakable():
                       density=1.0)
     wb.create_fixture(b, shapes.Polygon.box(0.5, 0.5, (0.5, 0.0), 0.0),
                       density=1.0)
+    return wb.freeze()
+
+
+def bullet_test():
+    """Testbed/Tests/BulletTest.h:26-67 — thin dynamic plank at (0, 4) with
+    a dense 0.25-box bullet dropped at -50 m/s from (0.20352793, 10); the
+    reference's canonical CCD regression (x pinned to its recorded seed)."""
+    wb = WorldBuilder(gravity=(0.0, -10.0))
+    ground = wb.create_body(position=(0.0, 0.0))
+    wb.create_fixture(ground, shapes.Edge((-10.0, 0.0), (10.0, 0.0)))
+    wb.create_fixture(ground, shapes.Polygon.box(0.2, 1.0, (0.5, 1.0), 0.0))
+    plank = wb.create_body(body_type=settings.DYNAMIC_BODY,
+                           position=(0.0, 4.0))
+    wb.create_fixture(plank, shapes.Polygon.box(2.0, 0.1), density=1.0)
+    bullet = wb.create_body(body_type=settings.DYNAMIC_BODY,
+                            position=(0.20352793, 10.0), bullet=True,
+                            linear_velocity=(0.0, -50.0))
+    wb.create_fixture(bullet, shapes.Polygon.box(0.25, 0.25), density=100.0)
+    return wb.freeze()
+
+
+def continuous_test(angular_velocity=46.661274):
+    """Testbed/Tests/ContinuousTest.h:27-61 — spinning plank launched at
+    -100 m/s onto an edge ground next to a vertical wall; non-bullet
+    dynamic-vs-static CCD. omega defaults to the reference's recorded
+    seed (ContinuousTest.h:57)."""
+    wb = WorldBuilder(gravity=(0.0, -10.0))
+    ground = wb.create_body(position=(0.0, 0.0))
+    wb.create_fixture(ground, shapes.Edge((-10.0, 0.0), (10.0, 0.0)))
+    wb.create_fixture(ground, shapes.Polygon.box(0.2, 1.0, (0.5, 1.0), 0.0))
+    plank = wb.create_body(body_type=settings.DYNAMIC_BODY,
+                           position=(0.0, 20.0),
+                           linear_velocity=(0.0, -100.0),
+                           angular_velocity=angular_velocity)
+    wb.create_fixture(plank, shapes.Polygon.box(2.0, 0.1), density=1.0)
+    return wb.freeze()
+
+
+def heavy_on_light_two(with_heavy=True):
+    """Testbed/Tests/HeavyOnLightTwo.h:27-71 — two light r=0.5 circles
+    stacked; a 100x-mass r=5 circle optionally toggled on top (the
+    reference adds it at runtime via the H key)."""
+    wb = WorldBuilder(gravity=(0.0, -10.0))
+    ground = wb.create_body()
+    wb.create_fixture(ground, shapes.Edge((-40.0, 0.0), (40.0, 0.0)))
+    light = shapes.Circle(0.5)
+    b = wb.create_body(body_type=settings.DYNAMIC_BODY, position=(0.0, 2.5))
+    wb.create_fixture(b, light, density=10.0)
+    b = wb.create_body(body_type=settings.DYNAMIC_BODY, position=(0.0, 3.5))
+    wb.create_fixture(b, light, density=10.0)
+    if with_heavy:
+        h = wb.create_body(body_type=settings.DYNAMIC_BODY,
+                           position=(0.0, 9.0))
+        wb.create_fixture(h, shapes.Circle(5.0), density=10.0)
+    return wb.freeze()
+
+
+def mobile_balanced(depth=4):
+    """Testbed/Tests/MobileBalanced.h — the mobile with an added crossbar
+    fixture on every non-leaf node (MobileBalanced.h:75-76), which balances
+    the mass distribution the plain Mobile lacks."""
+    wb = WorldBuilder(gravity=(0.0, -10.0))
+    ground = wb.create_body(position=(0.0, 20.0))
+    a = 0.5
+    positions = {ground: (0.0, 20.0)}
+
+    def add_node(parent, local_anchor, d, offset):
+        p = positions[parent]
+        p = (p[0] + local_anchor[0], p[1] + local_anchor[1] - a)
+        body = wb.create_body(body_type=settings.DYNAMIC_BODY, position=p)
+        wb.create_fixture(body, shapes.Polygon.box(0.25 * a, a), density=20.0)
+        positions[body] = p
+        if d == depth:
+            return body
+        # crossbar (MobileBalanced.h:75-76)
+        wb.create_fixture(body,
+                          shapes.Polygon.box(offset, 0.25 * a, (0.0, -a), 0.0),
+                          density=20.0)
+        c1 = add_node(body, (offset, -a), d + 1, 0.5 * offset)
+        c2 = add_node(body, (-offset, -a), d + 1, 0.5 * offset)
+        wb.create_revolute_joint(body, c1, (p[0] + offset, p[1] - a))
+        wb.create_revolute_joint(body, c2, (p[0] - offset, p[1] - a))
+        return body
+
+    root = add_node(ground, (0.0, 0.0), 0, 3.0)
+    wb.create_revolute_joint(ground, root, (0.0, 20.0 - a + a))
+    return wb.freeze()
+
+
+def apply_force():
+    """Testbed/Tests/ApplyForce.h:27-144 — zero gravity, four restitution
+    walls boxing (0,20), a damped two-triangle 'ship', and ten boxes pinned
+    by top-down friction joints (maxForce = m*g, maxTorque = m*r*g)."""
+    import math as _m
+    wb = WorldBuilder(gravity=(0.0, 0.0))
+    k_rest = 0.4
+    ground = wb.create_body(position=(0.0, 20.0))
+    for v1, v2 in (((-20.0, -20.0), (-20.0, 20.0)),
+                   ((20.0, -20.0), (20.0, 20.0)),
+                   ((-20.0, 20.0), (20.0, 20.0)),
+                   ((-20.0, -20.0), (20.0, -20.0))):
+        wb.create_fixture(ground, shapes.Edge(v1, v2), restitution=k_rest)
+
+    def tri(angle, flip):
+        s, c = _m.sin(angle), _m.cos(angle)
+        px, py = (c, s) if not flip else (-c, -s)
+        pts = [(-1.0, 0.0), (1.0, 0.0), (0.0, 0.5)]
+        return shapes.Polygon.from_vertices(
+            [(c * x - s * y + px, s * x + c * y + py) for x, y in pts])
+
+    ship = wb.create_body(body_type=settings.DYNAMIC_BODY,
+                          position=(0.0, 2.0), angle=_m.pi,
+                          angular_damping=2.0, linear_damping=0.5,
+                          allow_sleep=False)
+    wb.create_fixture(ship, tri(0.3524 * _m.pi, False), density=4.0)
+    wb.create_fixture(ship, tri(-0.3524 * _m.pi, True), density=2.0)
+
+    for i in range(10):
+        b = wb.create_body(body_type=settings.DYNAMIC_BODY,
+                           position=(0.0, 5.0 + 1.54 * i))
+        wb.create_fixture(b, shapes.Polygon.box(0.5, 0.5), density=1.0,
+                          friction=0.3)
+        # box 1x1 density 1: m = 1, I = m*(1+1)/12 ~ body inertia about COM
+        mass = 1.0
+        inertia = mass * (1.0 ** 2 + 1.0 ** 2) / 12.0
+        radius = _m.sqrt(2.0 * inertia / mass)
+        wb.create_friction_joint(ground, b, (0.0, 5.0 + 1.54 * i),
+                                 max_force=mass * 10.0,
+                                 max_torque=mass * radius * 10.0,
+                                 collide_connected=True)
+    return wb.freeze()
+
+
+# deterministic spawn table standing in for the testbed's rand()-driven
+# keypress spawner (EdgeShapes.h:131-138 RandomFloat(-10,10)); fixed values
+# keep the scene reproducible without a host RNG.
+_SPAWN_XS = (-8.3, 4.1, -1.7, 7.9, -5.2, 2.6, -9.1, 0.4, 6.3, -3.8,
+             8.7, -6.9, 1.2, -0.6, 5.5, -7.4, 3.3, 9.6, -2.1, -4.4)
+
+
+def edge_shapes(n_bodies=12):
+    """Testbed/Tests/EdgeShapes.h:55-120 — cosine-wave terrain of 80 edge
+    fixtures with the five canonical shapes (3 triangles/octagon/box/circle)
+    dropped on it. Spawns use a fixed table standing in for the keypress
+    RNG."""
+    import math as _m
+    wb = WorldBuilder(gravity=(0.0, -10.0))
+    ground = wb.create_body()
+    x1 = -20.0
+    y1 = 2.0 * _m.cos(x1 / 10.0 * _m.pi)
+    for _ in range(80):
+        x2 = x1 + 0.5
+        y2 = 2.0 * _m.cos(x2 / 10.0 * _m.pi)
+        wb.create_fixture(ground, shapes.Edge((x1, y1), (x2, y2)))
+        x1, y1 = x2, y2
+
+    w = 1.0
+    b = w / (2.0 + _m.sqrt(2.0))
+    s = _m.sqrt(2.0) * b
+    octagon = [(0.5 * s, 0.0), (0.5 * w, b), (0.5 * w, b + s), (0.5 * s, w),
+               (-0.5 * s, w), (-0.5 * w, b + s), (-0.5 * w, b), (-0.5 * s, 0.0)]
+    zoo = [shapes.Polygon.from_vertices([(-0.5, 0.0), (0.5, 0.0), (0.0, 1.5)]),
+           shapes.Polygon.from_vertices([(-0.1, 0.0), (0.1, 0.0), (0.0, 1.5)]),
+           shapes.Polygon.from_vertices(octagon),
+           shapes.Polygon.box(0.5, 0.5),
+           shapes.Circle(0.5)]
+    for i in range(n_bodies):
+        is_circle = i % len(zoo) == 4
+        body = wb.create_body(body_type=settings.DYNAMIC_BODY,
+                              position=(_SPAWN_XS[i % len(_SPAWN_XS)], 10.0),
+                              angle=(i * 0.7) % (2.0 * _m.pi) - _m.pi,
+                              # EdgeShapes.h:142-144
+                              angular_damping=0.02 if is_circle else 0.0)
+        wb.create_fixture(body, zoo[i % len(zoo)], density=20.0,
+                          friction=0.3)                # EdgeShapes.h:148-162
+    return wb.freeze()
+
+
+def poly_shapes(n_bodies=10):
+    """Testbed/Tests/PolyShapes.h:112-210 — the same five-shape zoo dropped
+    onto a flat edge ground (the reference adds an AABB+TestOverlap query
+    overlay, covered by tests/test_queries.py)."""
+    import math as _m
+    wb = WorldBuilder(gravity=(0.0, -10.0))
+    ground = wb.create_body()
+    wb.create_fixture(ground, shapes.Edge((-40.0, 0.0), (40.0, 0.0)))
+    w = 1.0
+    b = w / (2.0 + _m.sqrt(2.0))
+    s = _m.sqrt(2.0) * b
+    octagon = [(0.5 * s, 0.0), (0.5 * w, b), (0.5 * w, b + s), (0.5 * s, w),
+               (-0.5 * s, w), (-0.5 * w, b + s), (-0.5 * w, b), (-0.5 * s, 0.0)]
+    zoo = [shapes.Polygon.from_vertices([(-0.5, 0.0), (0.5, 0.0), (0.0, 1.5)]),
+           shapes.Polygon.from_vertices([(-0.1, 0.0), (0.1, 0.0), (0.0, 1.5)]),
+           shapes.Polygon.from_vertices(octagon),
+           shapes.Polygon.box(0.5, 0.5),
+           shapes.Circle(0.5)]
+    for i in range(n_bodies):
+        body = wb.create_body(body_type=settings.DYNAMIC_BODY,
+                              position=(_SPAWN_XS[(i * 3 + 1) % len(_SPAWN_XS)] * 0.2,
+                                        1.0 + 1.2 * i),
+                              angle=(i * 1.1) % (2.0 * _m.pi) - _m.pi)
+        wb.create_fixture(body, zoo[i % len(zoo)], density=1.0, friction=0.3)
+    return wb.freeze()
+
+
+def character_collision():
+    """Testbed/Tests/CharacterCollision.h:28-226 — edge-chain traversal
+    fixtures: collinear edges, rotated chain, square tiles, edge-loop
+    square, terrain loop, plus the five characters (two fixed-rotation
+    squares, hexagon, fixed-rotation circle, free r=0.25 circle)."""
+    import math as _m
+    wb = WorldBuilder(gravity=(0.0, -10.0))
+    g1 = wb.create_body()
+    wb.create_fixture(g1, shapes.Edge((-20.0, 0.0), (20.0, 0.0)))
+
+    g2 = wb.create_body()
+    for xa in (-8.0, -6.0, -4.0):
+        wb.create_fixture(g2, shapes.Edge((xa, 1.0), (xa + 2.0, 1.0)))
+
+    g3 = wb.create_body(angle=0.25 * _m.pi)
+    wb.create_fixture(g3, shapes.Chain(
+        [(5.0, 7.0), (6.0, 8.0), (7.0, 8.0), (8.0, 7.0)]))
+
+    g4 = wb.create_body()
+    for xc in (4.0, 6.0, 8.0):
+        wb.create_fixture(g4, shapes.Polygon.box(1.0, 1.0, (xc, 3.0), 0.0))
+
+    g5 = wb.create_body()
+    wb.create_fixture(g5, shapes.Chain(
+        [(-1.0, 3.0), (1.0, 3.0), (1.0, 5.0), (-1.0, 5.0)], loop=True))
+
+    g6 = wb.create_body(position=(-10.0, 4.0))
+    wb.create_fixture(g6, shapes.Chain(
+        [(0.0, 0.0), (6.0, 0.0), (6.0, 2.0), (4.0, 1.0), (2.0, 2.0),
+         (0.0, 2.0), (-2.0, 2.0), (-4.0, 3.0), (-6.0, 2.0), (-6.0, 0.0)],
+        loop=True))
+
+    sq1 = wb.create_body(body_type=settings.DYNAMIC_BODY,
+                         position=(-3.0, 8.0), fixed_rotation=True,
+                         allow_sleep=False)
+    wb.create_fixture(sq1, shapes.Polygon.box(0.5, 0.5), density=20.0)
+    sq2 = wb.create_body(body_type=settings.DYNAMIC_BODY,
+                         position=(-5.0, 5.0), fixed_rotation=True,
+                         allow_sleep=False)
+    wb.create_fixture(sq2, shapes.Polygon.box(0.25, 0.25), density=20.0)
+
+    hexagon = wb.create_body(body_type=settings.DYNAMIC_BODY,
+                             position=(-5.0, 8.0), fixed_rotation=True,
+                             allow_sleep=False)
+    hex_pts = [(0.5 * _m.cos(i * _m.pi / 3.0), 0.5 * _m.sin(i * _m.pi / 3.0))
+               for i in range(6)]
+    wb.create_fixture(hexagon, shapes.Polygon.from_vertices(hex_pts),
+                      density=20.0)
+
+    circ = wb.create_body(body_type=settings.DYNAMIC_BODY,
+                          position=(3.0, 5.0), fixed_rotation=True,
+                          allow_sleep=False)
+    wb.create_fixture(circ, shapes.Circle(0.5), density=20.0)
+
+    char = wb.create_body(body_type=settings.DYNAMIC_BODY,
+                          position=(-7.0, 6.0), allow_sleep=False)
+    wb.create_fixture(char, shapes.Circle(0.25), density=20.0, friction=1.0)
+    return wb.freeze()
+
+
+def bullet_on_stack(n=5):
+    """Mini-island CCD oracle (b2World.cpp:902-1001 StepSolveTOI): a bullet
+    fired horizontally into the base of a vertical stack — the TOI sub-solve
+    must pull the hit box's stack neighbors into the island or the box
+    tunnels into them before the next full step."""
+    wb = WorldBuilder(gravity=(0.0, -10.0))
+    ground = wb.create_body()
+    wb.create_fixture(ground, shapes.Edge((-40.0, 0.0), (40.0, 0.0)))
+    for i in range(n):
+        b = wb.create_body(body_type=settings.DYNAMIC_BODY,
+                           position=(0.0, 0.502 + 1.01 * i))
+        wb.create_fixture(b, shapes.Polygon.box(0.5, 0.5), density=1.0,
+                          friction=0.3)
+    bullet = wb.create_body(body_type=settings.DYNAMIC_BODY,
+                            position=(-20.0, 1.0), bullet=True,
+                            linear_velocity=(80.0, 0.0))
+    wb.create_fixture(bullet, shapes.Polygon.box(0.25, 0.25), density=20.0)
     return wb.freeze()

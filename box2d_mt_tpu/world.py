@@ -1238,16 +1238,23 @@ def _solve_toi_b(states: State, dt, velocity_iterations: int,
             nrest = jnp.where(ng[..., 9] >= 0.0, ng[..., 9], nrest)
 
             nbsg = vgather(bstat, jnp.concatenate([nba_, nbb_], axis=1))
-            # only the TOI body moves (SolveTOIPositionConstraints,
-            # b2ContactSolver.cpp): neighbor-endpoint masses are zeroed
-            # (exact for static/kinematic; frozen-bullet deviation noted
-            # in the docstring)
+            # position pass: only the TOI body moves (exact —
+            # SolveTOIPositionConstraints zeroes every island body's mass
+            # except toiIndexA/B, b2ContactSolver.cpp:780-806)
             n_mA = jnp.where(n_toi_a & n_dyn_a, nbsg[:, :NK, 0], 0.0)
             n_iA = jnp.where(n_toi_a & n_dyn_a, nbsg[:, :NK, 1], 0.0)
             n_lcA = nbsg[:, :NK, 2:4]
             n_mB = jnp.where(~n_toi_a & n_dyn_b, nbsg[:, NK:, 0], 0.0)
             n_iB = jnp.where(~n_toi_a & n_dyn_b, nbsg[:, NK:, 1], 0.0)
             n_lcB = nbsg[:, NK:, 2:4]
+            # velocity pass: every island body keeps its real inverse mass
+            # (b2Island.cpp:476-483 runs the plain velocity solver over the
+            # mini island, so dynamic neighbors receive impulses too)
+            nv_mA = jnp.where(n_dyn_a, nbsg[:, :NK, 0], 0.0)
+            nv_iA = jnp.where(n_dyn_a, nbsg[:, :NK, 1], 0.0)
+            nv_mB = jnp.where(n_dyn_b, nbsg[:, NK:, 0], 0.0)
+            nv_iB = jnp.where(n_dyn_b, nbsg[:, NK:, 1], 0.0)
+            o_dyn = jnp.where(n_toi_a, n_dyn_b, n_dyn_a)
 
             # tentative advance of the neighbor endpoint to the parent's
             # alpha (b2Body::Advance; kept only for manifold evaluation —
@@ -1411,9 +1418,10 @@ def _solve_toi_b(states: State, dt, velocity_iterations: int,
 
         if toi_neighbors:
             # ---- neighbor velocity-constraint prep at the position-solved
-            # TOI-body pose (island velocity pass, b2Island.cpp:474-483);
-            # the neighbor endpoint is frozen (zero inv mass — exact for
-            # the static/kinematic endpoints the admission rule produces)
+            # TOI-body pose (island velocity pass, b2Island.cpp:474-483)
+            # with REAL masses on both endpoints — dynamic neighbors
+            # receive impulses and are committed below, as the reference's
+            # mini island does
             lane_pos_f = jnp.stack([cax, cay, aa_, cbx, cby, ab_], axis=-1)
             glf = vgather(lane_pos_f, nparent)
             tpf = jnp.where(side_a[..., None], glf[..., 0:3],
@@ -1440,8 +1448,9 @@ def _solve_toi_b(states: State, dt, velocity_iterations: int,
                      - n_r_a[..., 1] * nnx[..., None])
             nrn_b = (n_r_b[..., 0] * nny[..., None]
                      - n_r_b[..., 1] * nnx[..., None])
-            nk_n = ((n_mA + n_mB)[..., None] + n_iA[..., None] * nrn_a ** 2
-                    + n_iB[..., None] * nrn_b ** 2)
+            nk_n = ((nv_mA + nv_mB)[..., None]
+                    + nv_iA[..., None] * nrn_a ** 2
+                    + nv_iB[..., None] * nrn_b ** 2)
             nnm = jnp.where(nk_n > 0.0,
                             1.0 / jnp.where(nk_n > 0.0, nk_n, 1.0), 0.0)
             ntx, nty = nny, -nnx
@@ -1449,8 +1458,9 @@ def _solve_toi_b(states: State, dt, velocity_iterations: int,
                      - n_r_a[..., 1] * ntx[..., None])
             nrt_b = (n_r_b[..., 0] * nty[..., None]
                      - n_r_b[..., 1] * ntx[..., None])
-            nk_t = ((n_mA + n_mB)[..., None] + n_iA[..., None] * nrt_a ** 2
-                    + n_iB[..., None] * nrt_b ** 2)
+            nk_t = ((nv_mA + nv_mB)[..., None]
+                    + nv_iA[..., None] * nrt_a ** 2
+                    + nv_iB[..., None] * nrt_b ** 2)
             ntm = jnp.where(nk_t > 0.0,
                             1.0 / jnp.where(nk_t > 0.0, nk_t, 1.0), 0.0)
             lane_vel0 = jnp.stack([vA[..., 0], vA[..., 1], wA,
@@ -1471,8 +1481,8 @@ def _solve_toi_b(states: State, dt, velocity_iterations: int,
                               -nrest[..., None] * nv_rel, 0.0)
             nk11 = nk_n[..., 0]
             nk22 = nk_n[..., 1]
-            nk12 = (n_mA + n_mB + n_iA * nrn_a[..., 0] * nrn_a[..., 1]
-                    + n_iB * nrn_b[..., 0] * nrn_b[..., 1])
+            nk12 = (nv_mA + nv_mB + nv_iA * nrn_a[..., 0] * nrn_a[..., 1]
+                    + nv_iB * nrn_b[..., 0] * nrn_b[..., 1])
             ndet = nk11 * nk22 - nk12 * nk12
             nwell = nk11 * nk11 < 1000.0 * ndet
             npc2 = jnp.where((nman.count == 2) & ~nwell, 1, nman.count)
@@ -1483,7 +1493,7 @@ def _solve_toi_b(states: State, dt, velocity_iterations: int,
         def vel_pass(_, vc):
             if toi_neighbors:
                 (ni0, ni1, ti0, ti1, vax, vay, wa_, vbx, vby, wb_,
-                 nn0, nn1, nt0, nt1) = vc
+                 nn0, nn1, nt0, nt1, ovx, ovy, ow) = vc
             else:
                 ni0, ni1, ti0, ti1, vax, vay, wa_, vbx, vby, wb_ = vc
             (ni0, ni1), (ti0, ti1), vax, vay, wa_, vbx, vby, wb_ = \
@@ -1501,20 +1511,21 @@ def _solve_toi_b(states: State, dt, velocity_iterations: int,
                     vax, vay, wa_, vbx, vby, wb_, solve)
             if not toi_neighbors:
                 return ni0, ni1, ti0, ti1, vax, vay, wa_, vbx, vby, wb_
-            # neighbor impulses against the live TOI-body velocity,
-            # averaged per parent lane (frozen endpoint never moves)
+            # neighbor impulses against the live TOI-body velocity (TOI
+            # side averaged per parent lane); the other endpoint carries
+            # its own live velocity copy and receives impulses too
             lane_vel = jnp.stack([vax, vay, wa_, vbx, vby, wb_], axis=-1)
             gv = vgather(lane_vel, nparent)
             tv = jnp.where(side_a[..., None], gv[..., 0:3], gv[..., 3:6])
-            nvax = jnp.where(n_toi_a, tv[..., 0], o_v[..., 0])
-            nvay = jnp.where(n_toi_a, tv[..., 1], o_v[..., 1])
-            nwa = jnp.where(n_toi_a, tv[..., 2], o_w)
-            nvbx = jnp.where(n_toi_a, o_v[..., 0], tv[..., 0])
-            nvby = jnp.where(n_toi_a, o_v[..., 1], tv[..., 1])
-            nwb = jnp.where(n_toi_a, o_w, tv[..., 2])
+            nvax = jnp.where(n_toi_a, tv[..., 0], ovx)
+            nvay = jnp.where(n_toi_a, tv[..., 1], ovy)
+            nwa = jnp.where(n_toi_a, tv[..., 2], ow)
+            nvbx = jnp.where(n_toi_a, ovx, tv[..., 0])
+            nvby = jnp.where(n_toi_a, ovy, tv[..., 1])
+            nwb = jnp.where(n_toi_a, ow, tv[..., 2])
             (nn0, nn1), (nt0, nt1), nvax2, nvay2, nwa2, nvbx2, nvby2, \
                 nwb2 = velocity_contact_math_s(
-                    nfric, n_ts, n_mA, n_mB, n_iA, n_iB, nnx, nny,
+                    nfric, n_ts, nv_mA, nv_mB, nv_iA, nv_iB, nnx, nny,
                     (n_r_a[..., 0, 0], n_r_a[..., 1, 0]),
                     (n_r_a[..., 0, 1], n_r_a[..., 1, 1]),
                     (n_r_b[..., 0, 0], n_r_b[..., 1, 0]),
@@ -1534,24 +1545,28 @@ def _solve_toi_b(states: State, dt, velocity_iterations: int,
                 jnp.stack([dvx_, dvy_, dw_, z3, z3, z3], axis=-1),
                 jnp.stack([z3, z3, z3, dvx_, dvy_, dw_], axis=-1))
             lane_vel = vscatter(lane_vel, nparent, d6)
+            ovx = jnp.where(n_toi_a, nvbx2, nvax2)
+            ovy = jnp.where(n_toi_a, nvby2, nvay2)
+            ow = jnp.where(n_toi_a, nwb2, nwa2)
             return (ni0, ni1, ti0, ti1,
                     lane_vel[..., 0], lane_vel[..., 1], lane_vel[..., 2],
                     lane_vel[..., 3], lane_vel[..., 4], lane_vel[..., 5],
-                    nn0, nn1, nt0, nt1)
+                    nn0, nn1, nt0, nt1, ovx, ovy, ow)
 
         z = jnp.zeros_like(fric)
         vinit = (z, z, z, z, vA[..., 0], vA[..., 1], wA,
                  vB[..., 0], vB[..., 1], wB)
         if toi_neighbors:
             zn = jnp.zeros_like(nfric)
-            vinit = vinit + (zn, zn, zn, zn)
+            vinit = vinit + (zn, zn, zn, zn,
+                             o_v[..., 0], o_v[..., 1], o_w)
         vout = jax.lax.fori_loop(0, velocity_iterations, vel_pass, vinit)
         vax, vay, wa_, vbx, vby, wb_ = vout[4:10]
 
         # ---- complete the remainder of the step for the pair
         h = (1.0 - jnp.where(selwin, alpha_s, 1.0)) * dt
 
-        def integrate_lane(cx, cy, a_, vx, vy, w_, movable):
+        def integrate_lane(cx, cy, a_, vx, vy, w_, movable, h=h):
             t2 = h * h * (vx ** 2 + vy ** 2)
             rat = jnp.where(
                 t2 > settings.MAX_TRANSLATION_SQUARED,
@@ -1599,6 +1614,41 @@ def _solve_toi_b(states: State, dt, velocity_iterations: int,
             ntouch = ntouch | (vscatter(
                 jnp.zeros((n_worlds, nc, 1), jnp.float32), nsel,
                 n_keep.astype(jnp.float32)[..., None])[..., 0] > 0.5)
+            # ---- commit kept dynamic neighbors (b2Island.cpp:489-523
+            # integrates and writes back EVERY island body): sweep keeps
+            # the tentative advance (no leap of faith for neighbors,
+            # b2Island.cpp:468-474 touches only toiIndexA/B), velocity
+            # from the island solve, position integrated by the remainder.
+            # A body that is itself a selected TOI body this round is
+            # excluded (its own pair's write wins; the reference's island
+            # flag makes this case impossible in its sequential loop).
+            ovx_f, ovy_f, ow_f = vout[14], vout[15], vout[16]
+            nh = vgs(h, nparent)
+            commit = n_keep & o_dyn & ~vgs(is_toi_body, other_body)
+            o_cfx, o_cfy, o_af, ovx_f, ovy_f, ow_f = integrate_lane(
+                o_ce[..., 0], o_ce[..., 1], o_ae, ovx_f, ovy_f, ow_f,
+                commit, h=nh)
+            # positions commit once per body (first kept slot); velocity
+            # deltas accumulate across slots (Jacobi sum of the impulses
+            # the reference applies sequentially)
+            slot_f = jnp.broadcast_to(
+                jnp.arange(NK, dtype=jnp.float32)[None, :], (n_worlds, NK))
+            min_slot = vmin(nb + 1, jnp.where(commit, other_body, nb),
+                            slot_f, jnp.inf)
+            primary = commit & (slot_f == vgs(min_slot, other_body))
+            pf = primary.astype(jnp.float32)
+            cf = commit.astype(jnp.float32)
+            d_pos = jnp.stack([
+                o_cfx - og[..., 0], o_cfy - og[..., 1], o_af - og[..., 2],
+                o_ce[..., 0] - og[..., 3], o_ce[..., 1] - og[..., 4],
+                o_ae - og[..., 5], n_alpha - og[..., 6]],
+                axis=-1) * pf[..., None]
+            d_vel = jnp.stack([
+                ovx_f - o_v[..., 0], ovy_f - o_v[..., 1], ow_f - o_w],
+                axis=-1) * cf[..., None]
+            d_awk = (pf * (1.0 - og[..., 10]))[..., None]
+            bp = vscatter(bp, other_body,
+                          jnp.concatenate([d_pos, d_vel, d_awk], axis=-1))
         return bp, lane_tc, lane_touch | solve, ntouch, k + 1, again
 
     def toi_cond(carry):

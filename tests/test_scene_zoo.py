@@ -46,6 +46,14 @@ ZOO = [
     ("pinball", scenes.pinball, 60),
     ("theo_jansen", scenes.theo_jansen, 40),
     ("breakable", scenes.breakable, 60),
+    ("bullet_test", scenes.bullet_test, 40),
+    ("continuous_test", scenes.continuous_test, 40),
+    ("heavy_on_light_two", scenes.heavy_on_light_two, 60),
+    ("mobile_balanced", lambda: scenes.mobile_balanced(3), 60),
+    ("apply_force", scenes.apply_force, 60),
+    ("edge_shapes", lambda: scenes.edge_shapes(8), 60),
+    ("poly_shapes", lambda: scenes.poly_shapes(8), 60),
+    ("character_collision", scenes.character_collision, 60),
 ]
 
 

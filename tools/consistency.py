@@ -128,6 +128,14 @@ def scene_list(steps):
         ("pinball", scenes.pinball, steps),
         ("theo_jansen", scenes.theo_jansen, steps),
         ("breakable", scenes.breakable, steps),
+        ("bullet_test", scenes.bullet_test, steps),
+        ("continuous_test", scenes.continuous_test, steps),
+        ("heavy_on_light_two", scenes.heavy_on_light_two, steps),
+        ("mobile_balanced", lambda: scenes.mobile_balanced(3), steps),
+        ("apply_force", scenes.apply_force, steps),
+        ("edge_shapes", lambda: scenes.edge_shapes(8), steps),
+        ("poly_shapes", lambda: scenes.poly_shapes(8), steps),
+        ("character_collision", scenes.character_collision, steps),
     ]
 
 
