@@ -1261,3 +1261,152 @@ def bullet_on_stack(n=5):
                             linear_velocity=(80.0, 0.0))
     wb.create_fixture(bullet, shapes.Polygon.box(0.25, 0.25), density=20.0)
     return wb.freeze()
+
+
+def many_bodies_impl(floaters=60, bullets=0, sleepers=0, static_boxes=0,
+                     static_edges=0, static_sensors=0, border=100.0,
+                     speed_per_radius=8.0, thick_threshold=1.0,
+                     min_static=2.0, max_static=10.0, thick_walls=True,
+                     seed=0):
+    """ManyBodiesImpl analog (ManyBodies.h:70-313): zero gravity, a
+    thick-walled border box, random static clutter (boxes/edges/sensors),
+    and circle/polygon 'floaters' launched at speed ∝ radius (bullets at
+    120 m/s, min radius, density 25); sleepers start at rest with linear
+    damping. Counts are scaled down from the reference's 10k-50k — the
+    structure (churn/CCD/island mix), not the raw count, is the load.
+
+    Returns (state, aux) where aux = {"target_speed": (B,), "floater":
+    (B,) bool} feeds floater_drive (the UpdateFloaterTask analog)."""
+    import math as _m
+    import random as _random
+    import numpy as _np
+    rng = _random.Random(seed)
+    wb = WorldBuilder(gravity=(0.0, 0.0))
+    ground = wb.create_body()
+    bw = 5.0
+    for cx, cy, hx, hy in ((0.0, border, border, bw),
+                           (0.0, -border, border, bw),
+                           (border, 0.0, bw, border),
+                           (-border, 0.0, bw, border)):
+        wb.create_fixture(ground, shapes.Polygon.box(hx, hy, (cx, cy), 0.0),
+                          thick_shape=thick_walls)
+    pos_range = border - bw - max_static
+    for _ in range(static_boxes):
+        hx = rng.uniform(min_static, max_static)
+        hy = rng.uniform(min_static, max_static)
+        x = rng.uniform(-pos_range, pos_range)
+        y = rng.uniform(-pos_range, pos_range)
+        a = rng.uniform(0.0, 2.0 * _m.pi)
+        wb.create_fixture(ground, shapes.Polygon.box(hx, hy, (x, y), a),
+                          thick_shape=thick_walls)
+    for _ in range(static_sensors):
+        x = rng.uniform(-pos_range, pos_range)
+        y = rng.uniform(-pos_range, pos_range)
+        wb.create_fixture(
+            ground, shapes.Polygon.box(max_static, max_static, (x, y), 0.0),
+            is_sensor=True)
+    for _ in range(static_edges):
+        hx = rng.uniform(min_static, max_static)
+        x = rng.uniform(-pos_range, pos_range)
+        y = rng.uniform(-pos_range, pos_range)
+        a = rng.uniform(0.0, 2.0 * _m.pi)
+        c, s = _m.cos(a), _m.sin(a)
+        wb.create_fixture(ground, shapes.Edge(
+            (x - c * hx, y - s * hx), (x + c * hx, y + s * hx)))
+
+    n_total = floaters + sleepers
+    speeds, is_floater = [], []
+    pos_range_f = border - bw
+    for i in range(n_total):
+        radius = rng.uniform(0.5, 5.0)
+        speed = speed_per_radius * radius
+        x = rng.uniform(-pos_range_f, pos_range_f)
+        y = rng.uniform(-pos_range_f, pos_range_f)
+        a = rng.uniform(0.0, 2.0 * _m.pi)
+        density = 1.0
+        bullet = False
+        if i < bullets:
+            speed, radius, bullet, density = 120.0, 0.5, True, 25.0
+        if i < floaters:
+            nx, ny = rng.random(), rng.random()
+            nl = _m.sqrt(nx * nx + ny * ny) or 1.0
+            vel = (speed * nx / nl, speed * ny / nl)
+            lin_damp = 0.0
+        else:
+            vel, lin_damp, density = (0.0, 0.0), 0.5, 5.0
+        b = wb.create_body(body_type=settings.DYNAMIC_BODY, position=(x, y),
+                           angle=a, linear_velocity=vel, bullet=bullet,
+                           linear_damping=lin_damp, angular_damping=0.25)
+        if i % 2 == 0:
+            shape = shapes.Circle(radius)
+        else:
+            nverts = max(3, min(i % settings.MAX_POLYGON_VERTICES, 8))
+            arc = 2.0 * _m.pi / nverts
+            shape = shapes.Polygon.from_vertices(
+                [(radius * _m.cos((v + 1.0) * arc),
+                  radius * _m.sin((v + 1.0) * arc)) for v in range(nverts)])
+        wb.create_fixture(b, shape, density=density,
+                          thick_shape=radius > thick_threshold)
+        speeds.append(speed if i < floaters else 0.0)
+        is_floater.append(i < floaters)
+    state = wb.freeze()
+    cap = state.bodies.capacity
+    tspeed = _np.zeros(cap, _np.float32)
+    fmask = _np.zeros(cap, bool)
+    tspeed[1:1 + n_total] = speeds          # body 0 is the ground
+    fmask[1:1 + n_total] = is_floater
+    import jax.numpy as jnp
+    return state, {"target_speed": jnp.asarray(tspeed),
+                   "floater": jnp.asarray(fmask)}
+
+
+def floater_drive(state, aux, dt, bullet_unbounded=True):
+    """UpdateFloaterTask analog (ManyBodies.h:29-68): between steps,
+    accelerate each floater toward its target speed along its current
+    velocity direction. Non-bullets cap acceleration at speed*dt/2
+    (kAccelerationTime=2); the impulse is applied with wake=false, so
+    sleeping floaters are left alone. Pure jnp — jit/vmap/scan composable
+    (the reference's custom user range task, run MT via the executor)."""
+    import jax.numpy as jnp
+    b = state.bodies
+    v = b.v
+    speed = jnp.sqrt(jnp.sum(v * v, axis=-1))
+    n = v / jnp.maximum(speed, 1e-12)[..., None]
+    tgt = aux["target_speed"]
+    max_acc = jnp.where(b.bullet & bullet_unbounded, tgt, tgt * dt * 0.5)
+    acc = jnp.clip(tgt - speed, -max_acc, max_acc)
+    ok = aux["floater"] & b.awake & (b.body_type == settings.DYNAMIC_BODY)
+    dv = jnp.where(ok[..., None], acc[..., None] * n, 0.0)
+    import dataclasses
+    return dataclasses.replace(state, bodies=dataclasses.replace(
+        state.bodies, v=v + dv))
+
+
+def many_bodies_variant(k):
+    """The six ManyBodies stress parameterizations (ManyBodies.h:335-427),
+    scaled ~50x down in counts (same structure per variant: 1-2 pair-churn,
+    3 fixture-sync, 4 island traversal, 5 SolveTOI, 6 reduced/DRD)."""
+    if k == 1:
+        return many_bodies_impl(floaters=60, sleepers=240, static_boxes=30,
+                                border=150.0, min_static=2.0,
+                                max_static=10.0)
+    if k == 2:
+        return many_bodies_impl(floaters=60, bullets=12, sleepers=120,
+                                static_boxes=8, static_edges=8,
+                                border=100.0, min_static=2.0,
+                                max_static=10.0)
+    if k == 3:
+        return many_bodies_impl(floaters=200, border=150.0,
+                                speed_per_radius=20.0)
+    if k == 4:
+        return many_bodies_impl(floaters=150, static_sensors=4,
+                                border=60.0, max_static=30.0)
+    if k == 5:
+        return many_bodies_impl(floaters=60, bullets=12, static_edges=10,
+                                border=60.0, min_static=10.0,
+                                max_static=30.0)
+    if k == 6:
+        return many_bodies_impl(floaters=40, bullets=10, static_boxes=4,
+                                static_edges=4, border=40.0,
+                                min_static=2.0, max_static=10.0)
+    raise ValueError(k)

@@ -31,14 +31,15 @@ def _clear_caches_per_scene():
     jax.clear_caches()
 
 
-def _errs(build, fname, steps, n_bodies):
+def _errs(build, fname, steps, n_bodies, max_colors=None):
     ref = [json.loads(line) for line in open(GOLDEN / fname)]
     st = build()
     kinds = world.possible_kinds(st)
+    kw = {} if max_colors is None else {"max_colors": max_colors}
     errs = []
     for i in range(steps):
         st, ev = world.step(st, 1 / 60, velocity_iterations=8,
-                            position_iterations=3, kinds=kinds)
+                            position_iterations=3, kinds=kinds, **kw)
         assert int(ev.color_overflow) == 0
         p = np.asarray(st.bodies.xf_p)
         a = np.asarray(st.bodies.a)
@@ -194,7 +195,9 @@ def test_poly_shapes_golden():
 def test_tumbler_golden():
     # rotating drum with 40 boxes: tracks to 9.4e-3 through step 60,
     # then the box pile's chaos decorrelates (measured 9.9 peak late)
-    e = _errs(lambda: scenes.tumbler(40), "tumbler_240.jsonl", 240, 42)
+    # the jammed pile exceeds the default 24-color budget
+    e = _errs(lambda: scenes.tumbler(40), "tumbler_240.jsonl", 240, 42,
+              max_colors=48)
     assert e[:60].max() < 0.05, e[:60].max()
     assert np.isfinite(e).all()
 

@@ -140,3 +140,26 @@ def test_sensor_zone_emits_begin_events():
     # sensor produced no collision response: balls fell through to ground
     c = np.asarray(st.bodies.c)
     assert (c[1:8, 1] < 9.0).all(), c[1:8]
+
+
+@pytest.mark.parametrize("variant", [1, 2, 3, 4, 5, 6])
+def test_many_bodies_variants(variant):
+    """ManyBodies1-6 stress analogs (ManyBodies.h:335-427): each variant
+    pressures a different phase (1-2 pair churn, 3 fixture sync, 4 island
+    traversal, 5 SolveTOI, 6 reduced). Drive floaters with the
+    UpdateFloaterTask analog between steps; the world must stay finite,
+    in-bounds, and within its pair/color budgets."""
+    st, aux = scenes.many_bodies_variant(variant)
+    kinds = world.possible_kinds(st)
+    dt = 1 / 60
+    for _ in range(12):
+        st = scenes.floater_drive(st, aux, dt)
+        st, ev = world.step(st, dt, kinds=kinds)
+        assert int(ev.color_overflow) == 0
+        assert int(ev.pair_overflow) == 0
+    c = np.asarray(st.bodies.c)
+    live = np.asarray(st.bodies.body_type) >= 0
+    assert np.isfinite(c[live]).all()
+    # nothing escapes the thick-walled border (CCD holds for bullets)
+    border = {1: 150.0, 2: 100.0, 3: 150.0, 4: 60.0, 5: 60.0, 6: 40.0}[variant]
+    assert (np.abs(c[live]) < border + 10.0).all(), np.abs(c[live]).max()
