@@ -234,3 +234,43 @@ def test_collision_filtering_golden():
               "collision_filtering_240.jsonl", 240, 8)
     assert e.max() < 0.2, e.max()
     assert e[-1] < 0.05, e[-1]
+
+
+# ---- round-3 wave 4: headline + compound scenes (golden8.cpp) -----------
+
+
+def test_multithread_demo_golden():
+    # the reference's headline MT workload at 200 boxes: the packed grid
+    # settles in lockstep (measured 1.2e-2 over 240 steps)
+    e = _errs(lambda: scenes.multithread_demo(200),
+              "multithread_demo_240.jsonl", 240, 201)
+    assert e.max() < 0.05, e.max()
+
+
+def test_pinball_golden():
+    # bullet ball vs chain loop + motorized limited flippers
+    # (measured 7.3e-3)
+    e = _errs(scenes.pinball, "pinball_240.jsonl", 240, 4)
+    assert e.max() < 0.05, e.max()
+
+
+def test_chain_links_golden():
+    # 10-plank revolute chain swing (measured 1.2e-2)
+    e = _errs(lambda: scenes.chain_links(10), "chain_links_240.jsonl",
+              240, 11)
+    assert e.max() < 0.05, e.max()
+
+
+def test_compound_shapes_golden():
+    # multi-fixture bodies tumbling into columns: tracks to 6.6e-2 through
+    # step 60, then the tumble decorrelates (measured 3.2 peak late)
+    e = _errs(lambda: scenes.compound_shapes(4),
+              "compound_shapes_240.jsonl", 240, 13)
+    assert e[:60].max() < 0.2, e[:60].max()
+    assert np.isfinite(e).all()
+
+
+def test_body_types_golden():
+    # motorized revolute+prismatic platform rig (measured 3.6e-3)
+    e = _errs(scenes.body_types, "body_types_240.jsonl", 240, 4)
+    assert e.max() < 0.02, e.max()
