@@ -274,3 +274,45 @@ def test_body_types_golden():
     # motorized revolute+prismatic platform rig (measured 3.6e-3)
     e = _errs(scenes.body_types, "body_types_240.jsonl", 240, 4)
     assert e.max() < 0.02, e.max()
+
+
+# ---- round-3 wave 5: linkage + friction scenes (golden9.cpp) ------------
+
+
+def test_varying_friction_golden():
+    # friction 0.75..0 boxes down the ramp zig-zag: stopping distances are
+    # a direct friction-solve oracle (measured 1.4e-2 over 300 steps)
+    e = _errs(scenes.varying_friction, "varying_friction_300.jsonl", 300, 11)
+    assert e.max() < 0.05, e.max()
+
+
+def test_theo_jansen_golden():
+    """TheoJansen.h walker: 24 soft distance joints + 6 revolutes + motor
+    over 40 loose circles. The gross gait must match — chassis (41) and
+    wheel (42) track the reference within 0.1 for the full 240 steps
+    (measured 9.4e-2; both walkers advance ~6 m). The leg linkage is
+    solve-order-sensitive (measured 5.8e-2 at step 30) and the kicked
+    floor circles decorrelate chaotically, so legs get an early-window
+    bound and circles a finiteness check."""
+    ref = [json.loads(line) for line in open(GOLDEN / "theo_jansen_240.jsonl")]
+    st = scenes.theo_jansen()
+    kinds = world.possible_kinds(st)
+    n = 55
+    core_err, leg30 = 0.0, 0.0
+    for i in range(240):
+        st, ev = world.step(st, 1 / 60, velocity_iterations=8,
+                            position_iterations=3, kinds=kinds)
+        assert int(ev.color_overflow) == 0
+        p = np.asarray(st.bodies.xf_p)
+        for k in (41, 42):  # chassis, wheel
+            rb = ref[i]["bodies"][n - 1 - k]
+            core_err = max(core_err, abs(p[k][0] - rb[0]),
+                           abs(p[k][1] - rb[1]))
+        if i < 30:
+            for k in range(43, 55):  # leg bodies
+                rb = ref[i]["bodies"][n - 1 - k]
+                leg30 = max(leg30, abs(p[k][0] - rb[0]),
+                            abs(p[k][1] - rb[1]))
+    assert core_err < 0.15, core_err
+    assert leg30 < 0.15, leg30
+    assert np.isfinite(np.asarray(st.bodies.c)).all()
