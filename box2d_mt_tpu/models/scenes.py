@@ -1410,3 +1410,153 @@ def many_bodies_variant(k):
                                 static_edges=4, border=40.0,
                                 min_static=2.0, max_static=10.0)
     raise ValueError(k)
+
+
+def chain_problem():
+    """Testbed/Tests/chainProblem.h — regression dump: a 1x6 bullet box
+    dropped onto the corner of an L-shaped chain [(0,1),(0,0),(4,0)];
+    the box must come to rest on the chain instead of snagging the
+    internal vertex."""
+    wb = WorldBuilder(gravity=(0.0, -10.0))
+    g = wb.create_body()
+    wb.create_fixture(g, shapes.Chain([(0.0, 1.0), (0.0, 0.0), (4.0, 0.0)]),
+                      friction=0.2)
+    b = wb.create_body(body_type=settings.DYNAMIC_BODY,
+                       position=(0.6033980250358582, 3.028350114822388),
+                       bullet=True)
+    wb.create_fixture(b, shapes.Polygon.box(0.5, 3.0), density=10.0,
+                      friction=0.2)
+    return wb.freeze()
+
+
+def edge_test():
+    """Testbed/Tests/EdgeTest.h — six ghost-connected edges forming a
+    valley/hill terrain; a circle and a box roll across the internal
+    vertices without jerking (the ghost-vertex EPCollider oracle)."""
+    wb = WorldBuilder(gravity=(0.0, -10.0))
+    g = wb.create_body()
+    v = [(-10.0, 0.0), (-7.0, -2.0), (-4.0, 0.0), (0.0, 0.0),
+         (4.0, 0.0), (7.0, 2.0), (10.0, 0.0)]
+    for i in range(6):
+        wb.create_fixture(g, shapes.Edge(
+            v[i], v[i + 1],
+            v0=v[i - 1] if i > 0 else None,
+            v3=v[i + 2] if i < 5 else None))
+    c = wb.create_body(body_type=settings.DYNAMIC_BODY,
+                       position=(-0.5, 0.6), allow_sleep=False)
+    wb.create_fixture(c, shapes.Circle(0.5), density=1.0)
+    b = wb.create_body(body_type=settings.DYNAMIC_BODY,
+                       position=(1.0, 0.6), allow_sleep=False)
+    wb.create_fixture(b, shapes.Polygon.box(0.5, 0.5), density=1.0)
+    return wb.freeze()
+
+
+def skier():
+    """Testbed/Tests/Skier.h — the collision-jerk regression: a skier
+    (box torso + trapezoid ski, friction 0) slides from a platform onto
+    two ghost-connected slope edges; crossing the slope joints must not
+    kick the skier airborne."""
+    import math as _m
+    a1 = 30.0 * _m.pi / 180.0          # -Angle1Degrees, downward slope
+    a2 = a1 + 10.0 * _m.pi / 180.0     # relative second slope
+    slope = 2.0
+    verts = [(-8.0, 0.0), (0.0, 0.0)]
+    verts.append((verts[-1][0] + slope * _m.cos(a1),
+                  verts[-1][1] - slope * _m.sin(a1)))
+    verts.append((verts[-1][0] + slope * _m.cos(a2),
+                  verts[-1][1] - slope * _m.sin(a2)))
+    wb = WorldBuilder(gravity=(0.0, -10.0))
+    g = wb.create_body()
+    for i in range(3):
+        wb.create_fixture(g, shapes.Edge(
+            verts[i], verts[i + 1],
+            v0=verts[i - 1] if i > 0 else None,
+            v3=verts[i + 2] if i < 2 else None), friction=0.2)
+    body_w, body_h, ski_len, ski_t = 1.0, 2.5, 3.0, 0.3
+    skier_b = wb.create_body(body_type=settings.DYNAMIC_BODY,
+                             position=(-4.0, body_h / 2 + ski_t),
+                             linear_velocity=(0.5, 0.0))
+    wb.create_fixture(skier_b, shapes.Polygon.box(body_w / 2, body_h / 2),
+                      density=1.0)
+    ski = shapes.Polygon.from_vertices(
+        [(-ski_len / 2 - ski_t, -body_h / 2),
+         (-ski_len / 2, -body_h / 2 - ski_t),
+         (ski_len / 2, -body_h / 2 - ski_t),
+         (ski_len / 2 + ski_t, -body_h / 2)])
+    wb.create_fixture(skier_b, ski, density=1.0, friction=0.0,
+                      restitution=0.15)
+    return wb.freeze()
+
+
+def collision_processing(seed=7):
+    """Testbed/Tests/CollisionProcessing.h — two triangles, two boxes and
+    two circles scattered over the ground; the reference destroys the
+    lighter body of each touching pair in Step (driven here by the
+    events + mutate.remove_body API in the test)."""
+    import random as _r
+    rng = _r.Random(seed)
+    wb = WorldBuilder(gravity=(0.0, -10.0))
+    g = wb.create_body()
+    wb.create_fixture(g, shapes.Edge((-50.0, 0.0), (50.0, 0.0)))
+
+    def pos():
+        return (rng.uniform(-5.0, 5.0), rng.uniform(2.0, 35.0))
+
+    tri = [(-1.0, 0.0), (1.0, 0.0), (0.0, 2.0)]
+    for scale in (1.0, 2.0):
+        b = wb.create_body(body_type=settings.DYNAMIC_BODY, position=pos())
+        wb.create_fixture(b, shapes.Polygon.from_vertices(
+            [(scale * x, scale * y) for x, y in tri]), density=1.0)
+    for hx, hy in ((1.0, 0.5), (2.0, 1.0)):
+        b = wb.create_body(body_type=settings.DYNAMIC_BODY, position=pos())
+        wb.create_fixture(b, shapes.Polygon.box(hx, hy), density=1.0)
+    for r in (1.0, 2.0):
+        b = wb.create_body(body_type=settings.DYNAMIC_BODY, position=pos())
+        wb.create_fixture(b, shapes.Circle(r), density=1.0)
+    return wb.freeze()
+
+
+def sleep_collide_perf(pyramids=4, pyramid_size=10, tumblers=2,
+                       boxes_per_tumbler=50):
+    """Testbed/Tests/SleepCollidePerf.h — the reference's sleep-scaling
+    perf scene: `pyramids` box pyramids that settle and sleep next to
+    spinning no-sleep tumblers full of boxes; throughput hinges on the
+    solver skipping the sleeping pyramids."""
+    import random as _r
+    rng = _r.Random(11)
+    wb = WorldBuilder(gravity=(0.0, -10.0))
+    g = wb.create_body()
+    wb.create_fixture(g, shapes.Edge((-20.0 * pyramids, 0.0),
+                                     (20.0 * pyramids, 0.0)))
+    box = shapes.Polygon.box
+    x_spacing = 1.125 * pyramid_size
+    x_init = -x_spacing * pyramids * 0.5 - 7.0
+    sq = box(0.5, 0.5)
+    for p in range(pyramids):
+        x = (x_init + p * x_spacing, 0.75)
+        for i in range(pyramid_size):
+            y = x
+            for j in range(i, pyramid_size):
+                b = wb.create_body(body_type=settings.DYNAMIC_BODY,
+                                   position=y)
+                wb.create_fixture(b, sq, density=5.0)
+                y = (y[0] + 1.125, y[1])
+            x = (x[0] + 0.5625, x[1] + 1.25)
+    x = -30.0 * tumblers * 0.5 + 10.0
+    for t in range(tumblers):
+        body = wb.create_body(body_type=settings.DYNAMIC_BODY,
+                              position=(x, 50.0), allow_sleep=False)
+        wb.create_fixture(body, box(0.5, 10.0, (10.0, 0.0), 0.0), density=5.0)
+        wb.create_fixture(body, box(0.5, 10.0, (-10.0, 0.0), 0.0), density=5.0)
+        wb.create_fixture(body, box(10.0, 0.5, (0.0, 10.0), 0.0), density=5.0)
+        wb.create_fixture(body, box(10.0, 0.5, (0.0, -10.0), 0.0), density=5.0)
+        wb.create_revolute_joint(g, body, (x, 50.0), enable_motor=True,
+                                 motor_speed=0.05 * 3.141592653589793,
+                                 max_motor_torque=1e8)
+        for _ in range(boxes_per_tumbler):
+            b = wb.create_body(body_type=settings.DYNAMIC_BODY,
+                               position=(x + rng.uniform(-5, 5),
+                                         50.0 + rng.uniform(-5, 5)))
+            wb.create_fixture(b, box(0.125, 0.125), density=1.0)
+        x += 30.0
+    return wb.freeze()

@@ -54,6 +54,12 @@ ZOO = [
     ("edge_shapes", lambda: scenes.edge_shapes(8), 60),
     ("poly_shapes", lambda: scenes.poly_shapes(8), 60),
     ("character_collision", scenes.character_collision, 60),
+    ("chain_problem", scenes.chain_problem, 60),
+    ("edge_test", scenes.edge_test, 60),
+    ("skier", scenes.skier, 60),
+    ("collision_processing", lambda: scenes.collision_processing(7), 60),
+    ("sleep_collide_perf",
+     lambda: scenes.sleep_collide_perf(2, 6, 1, 20), 60),
 ]
 
 
@@ -163,3 +169,108 @@ def test_many_bodies_variants(variant):
     # nothing escapes the thick-walled border (CCD holds for bullets)
     border = {1: 150.0, 2: 100.0, 3: 150.0, 4: 60.0, 5: 60.0, 6: 40.0}[variant]
     assert (np.abs(c[live]) < border + 10.0).all(), np.abs(c[live]).max()
+
+
+def test_skier_no_collision_jerk():
+    """Skier.h regression: crossing the ghost-connected slope joints must
+    not kick the frictionless skier airborne — its upward velocity stays
+    negligible and it keeps descending the slope.
+
+    The reference scene starts the skier mid-platform at 0.5 m/s (minutes
+    of interactive runtime before the slope); teleport it next to the
+    slope edge via the mutation API so 180 steps cover both slope joints."""
+    from box2d_mt_tpu import mutate
+
+    st = scenes.skier()
+    st = mutate.set_transform(st, 1, (-0.7, float(np.asarray(st.bodies.xf_p)[1, 1])), 0.0)
+    kinds = world.possible_kinds(st)
+    max_vy_up = 0.0
+    for _ in range(180):
+        st, _ = world.step(st, 1 / 60, kinds=kinds)
+        max_vy_up = max(max_vy_up, float(np.asarray(st.bodies.v)[1, 1]))
+    assert max_vy_up < 0.05, max_vy_up            # no upward kick
+    c = np.asarray(st.bodies.c)[1]
+    assert c[0] > 0.5, c    # made it past the platform onto the slopes
+    assert np.isfinite(c).all()
+
+
+def test_chain_problem_rests_on_chain():
+    """chainProblem.h regression dump: the tall bullet box must come to
+    rest supported by the chain floor — no snag on the internal vertex,
+    no tunneling through the one-sided chain."""
+    st = scenes.chain_problem()
+    kinds = world.possible_kinds(st)
+    for _ in range(180):
+        st, _ = world.step(st, 1 / 60, kinds=kinds)
+    c = np.asarray(st.bodies.c)[1]
+    v = np.asarray(st.bodies.v)[1]
+    assert c[1] > 0.4, c            # not through the floor (min rest ~0.5)
+    assert abs(v[0]) < 0.5 and abs(v[1]) < 0.5, v   # settled
+    assert np.isfinite(c).all()
+
+
+def test_edge_test_settles_on_terrain():
+    """EdgeTest.h: circle and box settle onto the ghost-connected terrain
+    near internal vertices without snagging or popping."""
+    st = scenes.edge_test()
+    kinds = world.possible_kinds(st)
+    for _ in range(90):
+        st, _ = world.step(st, 1 / 60, kinds=kinds)
+    c = np.asarray(st.bodies.c)
+    # circle radius 0.5 / box half-height 0.5 resting on y=0 segments
+    assert abs(c[1, 1] - 0.5) < 0.1, c[1]
+    assert abs(c[2, 1] - 0.5) < 0.1, c[2]
+
+
+def test_collision_processing_destroys_lighter_of_touching():
+    """CollisionProcessing.h Step loop: each step, for every touching
+    dynamic-dynamic pair, destroy the lighter body (max 6 per step) via
+    mutate.remove_body; the survivors keep simulating cleanly."""
+    from box2d_mt_tpu import mutate
+
+    st = scenes.collision_processing(7)
+    kinds = world.possible_kinds(st)
+    inv_mass0 = np.asarray(st.bodies.inv_mass)
+    removed = set()
+    for _ in range(120):
+        st, _ = world.step(st, 1 / 60, kinds=kinds)
+        touching = np.asarray(st.contacts.touching)
+        f_a = np.asarray(st.contacts.f_a)
+        f_b = np.asarray(st.contacts.f_b)
+        fx_body = np.asarray(st.fixtures.body)
+        inv_mass = np.asarray(st.bodies.inv_mass)
+        nuke = []
+        for i in np.nonzero(touching)[0]:
+            ba, bb = int(fx_body[f_a[i]]), int(fx_body[f_b[i]])
+            if ba in removed or bb in removed:
+                continue
+            ma = 1.0 / inv_mass[ba] if inv_mass[ba] > 0 else 0.0
+            mb = 1.0 / inv_mass[bb] if inv_mass[bb] > 0 else 0.0
+            if ma > 0.0 and mb > 0.0:
+                nuke.append(ba if mb > ma else bb)
+        for b in sorted(set(nuke))[:6]:
+            st = mutate.remove_body(st, b)
+            removed.add(b)
+    exists = np.asarray(st.bodies.exists)
+    assert len(removed) >= 1, "no touching dynamic pair ever destroyed"
+    assert not exists[sorted(removed)].any()
+    c = np.asarray(st.bodies.c)
+    assert np.isfinite(c[exists]).all()
+
+
+def test_sleep_collide_perf_pyramids_sleep_tumbler_spins():
+    """SleepCollidePerf.h: the settled pyramids must fall asleep while the
+    no-sleep tumblers keep spinning — the scene's entire point is that
+    throughput comes from skipping the sleeping islands."""
+    st = scenes.sleep_collide_perf(2, 6, 1, 12)
+    kinds = world.possible_kinds(st)
+    n_pyr = 2 * (6 * 7) // 2   # 2 pyramids of size 6 = 42 bodies
+    for _ in range(300):
+        st, _ = world.step(st, 1 / 60, kinds=kinds)
+    awake = np.asarray(st.bodies.awake)
+    # bodies 1..42 are the pyramid boxes (0 = ground)
+    asleep_pyr = (~awake[1:1 + n_pyr]).sum()
+    assert asleep_pyr == n_pyr, f"{asleep_pyr}/{n_pyr} pyramid boxes asleep"
+    # tumbler body right after the pyramids is flagged no-sleep
+    assert awake[1 + n_pyr], "tumbler fell asleep"
+    assert abs(float(np.asarray(st.bodies.w)[1 + n_pyr])) > 0.01
