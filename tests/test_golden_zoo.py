@@ -316,3 +316,39 @@ def test_theo_jansen_golden():
     assert core_err < 0.15, core_err
     assert leg30 < 0.15, leg30
     assert np.isfinite(np.asarray(st.bodies.c)).all()
+
+
+def test_skier_golden():
+    """Skier.h (golden10.cpp, skier teleported to the slope edge x=-0.7
+    as in test_scene_zoo): frictionless two-fixture skier crossing both
+    ghost-edge slope joints tracks the reference descent. Measured max
+    7.5e-3 during the slope-joint crossings, 1.0e-3 terminal."""
+    from box2d_mt_tpu import mutate
+
+    def build():
+        st = scenes.skier()
+        return mutate.set_transform(
+            st, 1, (-0.7, float(np.asarray(st.bodies.xf_p)[1, 1])), 0.0)
+
+    e = _errs(build, "skier_180.jsonl", 180, 2)
+    assert e.max() < 0.02, e.max()
+    assert e[-1] < 5e-3, e[-1]
+
+
+def test_chain_problem_golden():
+    """chainProblem.h regression dump (golden10.cpp): bullet box landing
+    on the L-chain corner. Measured max 1.2e-3 at the bullet impact
+    frame, 8e-7 terminal — the TOI sub-step and chain ghost handling
+    reproduce the reference rest state bit-tight."""
+    e = _errs(scenes.chain_problem, "chain_problem_180.jsonl", 180, 2)
+    assert e.max() < 5e-3, e.max()
+    assert e[-1] < 1e-4, e[-1]
+
+
+def test_edge_test_golden():
+    """EdgeTest.h (golden10.cpp): circle + box settling across internal
+    terrain vertices. Measured max 1.9e-3 in the landing transient,
+    3.6e-7 terminal."""
+    e = _errs(scenes.edge_test, "edge_test_120.jsonl", 120, 3)
+    assert e.max() < 5e-3, e.max()
+    assert e[-1] < 1e-4, e[-1]
