@@ -1560,3 +1560,38 @@ def sleep_collide_perf(pyramids=4, pyramid_size=10, tumblers=2,
             wb.create_fixture(b, box(0.125, 0.125), density=1.0)
         x += 30.0
     return wb.freeze()
+
+
+def basic_slider_crank():
+    """Testbed/Tests/BasicSliderCrank.h — crank / connecting-rod / piston
+    chain of revolutes plus a horizontal prismatic guide on the piston
+    (fixed rotation), all hanging from a ground pivot at (0, 17)."""
+    wb = WorldBuilder(gravity=(0.0, -10.0))
+    ground = wb.create_body(position=(0.0, 17.0))
+    crank = wb.create_body(body_type=settings.DYNAMIC_BODY,
+                           position=(-8.0, 20.0))
+    wb.create_fixture(crank, shapes.Polygon.box(4.0, 1.0), density=2.0)
+    wb.create_revolute_joint(ground, crank, (-12.0, 20.0))
+    rod = wb.create_body(body_type=settings.DYNAMIC_BODY,
+                         position=(4.0, 20.0))
+    wb.create_fixture(rod, shapes.Polygon.box(8.0, 1.0), density=2.0)
+    wb.create_revolute_joint(crank, rod, (-4.0, 20.0))
+    piston = wb.create_body(body_type=settings.DYNAMIC_BODY,
+                            position=(12.0, 20.0), fixed_rotation=True)
+    wb.create_fixture(piston, shapes.Polygon.box(3.0, 3.0), density=2.0)
+    wb.create_revolute_joint(rod, piston, (12.0, 20.0))
+    wb.create_prismatic_joint(ground, piston, (12.0, 17.0), (1.0, 0.0))
+    return wb.freeze()
+
+
+def shape_editing():
+    """Testbed/Tests/ShapeEditing.h — ground edge + one 4x4 dynamic box
+    with spare fixture capacity; the test attaches/detaches a circle
+    fixture at runtime via mutate.add_fixture/remove_fixture (the 'C'/'D'
+    keys) and toggles the sensor flag (the 'S' key)."""
+    wb = WorldBuilder(gravity=(0.0, -10.0))
+    g = wb.create_body()
+    wb.create_fixture(g, shapes.Edge((-40.0, 0.0), (40.0, 0.0)))
+    b = wb.create_body(body_type=settings.DYNAMIC_BODY, position=(0.0, 10.0))
+    wb.create_fixture(b, shapes.Polygon.box(4.0, 4.0), density=10.0)
+    return wb.freeze(fixture_capacity=4)

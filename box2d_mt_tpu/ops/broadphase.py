@@ -211,6 +211,11 @@ def find_pairs_allpairs(state: State, capacity: int, filter_fn=None):
                        (hsel[:, None] * nf + ii[None, :]).astype(jnp.uint32),
                        big)
     key = jnp.concatenate([keys_r.ravel(), keys_h.ravel()])
+    if key.shape[0] < capacity:
+        # tiny worlds (F*K_ROW + HUB_CAP*F < capacity): pad with sentinels
+        # so the pair table always comes out at the requested capacity
+        key = jnp.concatenate(
+            [key, jnp.full(capacity - key.shape[0], big, jnp.uint32)])
     skey = jnp.sort(key)[:capacity]
     valid = skey < big
     pidx = jnp.where(valid, skey, 0).astype(jnp.int32)

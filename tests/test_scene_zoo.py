@@ -60,6 +60,8 @@ ZOO = [
     ("collision_processing", lambda: scenes.collision_processing(7), 60),
     ("sleep_collide_perf",
      lambda: scenes.sleep_collide_perf(2, 6, 1, 20), 60),
+    ("basic_slider_crank", scenes.basic_slider_crank, 60),
+    ("shape_editing", scenes.shape_editing, 60),
 ]
 
 
@@ -274,3 +276,65 @@ def test_sleep_collide_perf_pyramids_sleep_tumbler_spins():
     # tumbler body right after the pyramids is flagged no-sleep
     assert awake[1 + n_pyr], "tumbler fell asleep"
     assert abs(float(np.asarray(st.bodies.w)[1 + n_pyr])) > 0.01
+
+
+def test_basic_slider_crank_piston_guided():
+    """BasicSliderCrank.h: the prismatic guide (axis (1,0), fixed-rotation
+    piston) must keep the piston on its horizontal line while the crank
+    and rod sag under gravity and drive it sideways."""
+    st = scenes.basic_slider_crank()
+    kinds = world.possible_kinds(st)
+    for _ in range(120):
+        st, _ = world.step(st, 1 / 60, kinds=kinds)
+    c = np.asarray(st.bodies.c)
+    a = np.asarray(st.bodies.a)
+    assert abs(c[3, 1] - 20.0) < 0.05, c[3]     # piston rides the guide
+    assert abs(a[3]) < 1e-3                      # fixed rotation holds
+    assert c[1, 1] < 20.0 - 0.5, c[1]            # crank sagged
+    assert np.isfinite(c).all()
+
+
+def test_shape_editing_add_remove_fixture():
+    """ShapeEditing.h: attach a circle fixture ('C') to the falling box at
+    runtime — the compound must rest higher than the bare box; detach it
+    ('D') and the box settles back to its own rest height; toggling the
+    sensor flag ('S') makes the body fall through the ground."""
+    from box2d_mt_tpu import mutate
+    from box2d_mt_tpu import shapes as sh
+
+    st = scenes.shape_editing()
+    # kinds is the static compile-time collider set: include EDGE_CIRCLE
+    # up front for the circle fixture this test attaches at runtime
+    from box2d_mt_tpu.ops import narrowphase as nph
+    kinds = tuple(sorted(set(world.possible_kinds(st))
+                         | {nph.KIND_EDGE_CIRCLE, nph.KIND_POLYGON_CIRCLE}))
+
+    def settle(st, n=150):
+        for _ in range(n):
+            st, _ = world.step(st, 1 / 60, kinds=kinds)
+        return st
+
+    st = settle(st)
+    y_bare = float(np.asarray(st.bodies.c)[1, 1])
+    assert abs(y_bare - 4.0) < 0.05, y_bare      # 4x4 box rest height
+
+    st, fix2 = mutate.add_fixture(st, 1, sh.Circle(3.0, (0.5, -4.0)),
+                                  density=10.0)
+    assert int(fix2) >= 0
+    st = mutate.set_awake(st, 1, True)   # ShapeEditing.h: SetAwake after edit
+    st = settle(st)
+    y_comp = float(np.asarray(st.bodies.c)[1, 1])
+    # circle sticks out below the box bottom: the compound rests higher
+    # (it tilts onto the offset circle, so the lift is ~0.85, not 3)
+    assert y_comp > y_bare + 0.5, (y_bare, y_comp)
+
+    st = mutate.remove_fixture(st, fix2)
+    st = mutate.set_awake(st, 1, True)
+    st = settle(st)
+    y_back = float(np.asarray(st.bodies.c)[1, 1])
+    assert abs(y_back - y_bare) < 0.1, (y_bare, y_back)
+
+    st = mutate.set_sensor(st, 0, True)          # ground becomes sensor
+    st = mutate.set_awake(st, 1, True)
+    st = settle(st, 60)
+    assert float(np.asarray(st.bodies.c)[1, 1]) < y_bare - 2.0
