@@ -2062,6 +2062,17 @@ class WorldBuilder:
         lst.append(kw)
         return len(lst) - 1
 
+    def create_joint_raw(self, kind: str, **fields) -> int:
+        """Append a joint from raw local-frame def fields (local anchors,
+        axes, reference angles, ...), bypassing the world-anchor helpers.
+        This is how `diagnostics.dump_source` replays a world — the analog
+        of the raw `jd.localAnchorA.Set(...)` lines in a b2World::Dump
+        (b2World.h:246-248, per-joint Dump methods in Joints/*.cpp)."""
+        from .joints import _BLOCK_NAMES
+        if kind not in _BLOCK_NAMES:
+            raise ValueError(f"unknown joint kind: {kind}")
+        return self._add_joint(kind, **fields)
+
     def create_revolute_joint(self, body_a, body_b, anchor, *,
                               collide_connected=False, enable_limit=False,
                               lower_angle=0.0, upper_angle=0.0,

@@ -62,3 +62,87 @@ def test_draw_data_and_svg():
     assert np.allclose(v.mean(axis=0), [0.0, 4.0], atol=1e-5)
     svg = draw.draw_svg(st)
     assert svg.startswith("<svg") and "polygon" in svg
+
+
+def _replay(src):
+    ns = {}
+    exec(src, ns)
+    return ns["state"]
+
+
+def _trees_equal(a, b):
+    import jax
+    la = jax.tree.leaves(a)
+    lb = jax.tree.leaves(b)
+    assert len(la) == len(lb)
+    return all(np.array_equal(np.asarray(x), np.asarray(y))
+               for x, y in zip(la, lb))
+
+
+def test_dump_source_fresh_world_bit_identical():
+    """DumpShell.h analog: dump_source of a just-built world replays to a
+    bit-identical world, and both trajectories stay bit-identical (the
+    revolute+prismatic slider crank exercises raw joint defs)."""
+    st_a = scenes.basic_slider_crank()
+    st_b = _replay(diagnostics.dump_source(st_a))
+    assert _trees_equal(st_a.bodies, st_b.bodies)
+    assert _trees_equal(st_a.fixtures, st_b.fixtures)
+    assert _trees_equal(st_a.joints, st_b.joints)
+    kinds = world.possible_kinds(st_a)
+    for _ in range(90):
+        st_a, _ = world.step(st_a, 1 / 60, kinds=kinds)
+        st_b, _ = world.step(st_b, 1 / 60, kinds=kinds)
+    assert np.array_equal(np.asarray(st_a.bodies.c), np.asarray(st_b.bodies.c))
+    assert np.array_equal(np.asarray(st_a.bodies.a), np.asarray(st_b.bodies.a))
+
+
+def test_dump_source_gear_train_roundtrip():
+    """Gear joints reference other joints by (type, block index); the dump
+    remaps them through the compaction maps."""
+    st_a = scenes.gear_train()
+    st_b = _replay(diagnostics.dump_source(st_a))
+    assert _trees_equal(st_a.joints, st_b.joints)
+    kinds = world.possible_kinds(st_a)
+    for _ in range(60):
+        st_a, _ = world.step(st_a, 1 / 60, kinds=kinds)
+        st_b, _ = world.step(st_b, 1 / 60, kinds=kinds)
+    assert np.array_equal(np.asarray(st_a.bodies.a), np.asarray(st_b.bodies.a))
+
+
+def test_dump_source_mid_simulation():
+    """Dumping a mid-flight world captures current transforms/velocities;
+    the replay continues cleanly (warm-start impulses start fresh, like a
+    b2World::Dump replay)."""
+    st = scenes.car()
+    kinds = world.possible_kinds(st)
+    for _ in range(30):
+        st, _ = world.step(st, 1 / 60, kinds=kinds)
+    st2 = _replay(diagnostics.dump_source(st))
+    live = np.asarray(st.bodies.exists)
+    assert np.array_equal(live, np.asarray(st2.bodies.exists))
+    assert np.allclose(np.asarray(st.bodies.xf_p)[live],
+                       np.asarray(st2.bodies.xf_p)[live], atol=1e-5)
+    # COM-velocity roundtrip through the origin-velocity def costs a few ulps
+    assert np.allclose(np.asarray(st.bodies.v)[live],
+                       np.asarray(st2.bodies.v)[live], atol=1e-5)
+    assert np.array_equal(np.asarray(st.bodies.awake)[live],
+                          np.asarray(st2.bodies.awake)[live])
+    for _ in range(60):
+        st2, _ = world.step(st2, 1 / 60, kinds=kinds)
+    c = np.asarray(st2.bodies.c)
+    assert np.isfinite(c[np.asarray(st2.bodies.exists)]).all()
+
+
+def test_dump_source_compacts_removed_bodies():
+    """After remove_body, the dump renumbers slots and the replay has the
+    same live-body count and geometry."""
+    st = scenes.collision_processing(7)
+    st = mutate.remove_body(st, 2)
+    st = mutate.remove_body(st, 5)
+    st2 = _replay(diagnostics.dump_source(st))
+    n_live = int(np.asarray(st.bodies.exists).sum())
+    assert int(np.asarray(st2.bodies.exists).sum()) == n_live
+    # live bodies keep their transforms (in compacted order)
+    pa = np.asarray(st.bodies.xf_p)[np.asarray(st.bodies.exists)]
+    pb = np.asarray(st2.bodies.xf_p)[np.asarray(st2.bodies.exists)]
+    assert np.allclose(pa, pb, atol=1e-5)
