@@ -170,20 +170,37 @@ def main():
 
     if with_big:
         big_rows = int(os.environ.get("BENCH_BIG_ROWS", "44"))  # ~990 bodies
-        big_worlds = int(os.environ.get("BENCH_BIG_WORLDS", "16"))
         big_steps = int(os.environ.get("BENCH_BIG_STEPS", "60"))
-        big = replicate_state(scenes.pyramid(big_rows), big_worlds)
-        nb_big = int(jnp.sum(big.bodies.body_type[0] >= 0))
+        # BASELINE.md north star asks for the largest feasible batch of
+        # ~1k-body worlds: walk a descending ladder and keep the biggest
+        # batch that fits device memory (BENCH_BIG_WORLDS pins one size).
+        if "BENCH_BIG_WORLDS" in os.environ:
+            ladder = [int(os.environ["BENCH_BIG_WORLDS"])]
+        else:
+            ladder = [1024, 256, 64, 16]
+        base_big = scenes.pyramid(big_rows)
+        nb_big = int(jnp.sum(base_big.bodies.body_type >= 0))
         roll_big = make_rollout(big_steps, velocity_iterations=8,
                                 position_iterations=3, max_colors=max_colors)
-        t0 = time.perf_counter()
-        ob = roll_big(big, dt)
-        _sync(ob)
-        big_compile = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        ob = roll_big(big, dt)
-        _sync(ob)
-        big_elapsed = time.perf_counter() - t0
+        for big_worlds in ladder:
+            try:
+                big = replicate_state(base_big, big_worlds)
+                t0 = time.perf_counter()
+                ob = roll_big(big, dt)
+                _sync(ob)
+                big_compile = time.perf_counter() - t0
+                t0 = time.perf_counter()
+                ob = roll_big(big, dt)
+                _sync(ob)
+                big_elapsed = time.perf_counter() - t0
+                del ob, big
+                break
+            except Exception as e:  # memory exhaustion: try a smaller batch
+                if big_worlds == ladder[-1]:
+                    raise
+                sys.stderr.write(
+                    f"big_world: {big_worlds} worlds failed "
+                    f"({type(e).__name__}); trying smaller\n")
         detail["big_world"] = {
             "n_bodies": nb_big, "n_worlds": big_worlds, "n_steps": big_steps,
             "worlds_steps_per_sec": round(
