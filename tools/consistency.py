@@ -136,6 +136,15 @@ def scene_list(steps):
         ("edge_shapes", lambda: scenes.edge_shapes(8), steps),
         ("poly_shapes", lambda: scenes.poly_shapes(8), steps),
         ("character_collision", scenes.character_collision, steps),
+        # zoo wave 6
+        ("chain_problem", scenes.chain_problem, steps),
+        ("edge_test", scenes.edge_test, steps),
+        ("skier", scenes.skier, steps),
+        ("collision_processing", lambda: scenes.collision_processing(7), steps),
+        ("sleep_collide_perf",
+         lambda: scenes.sleep_collide_perf(2, 6, 1, 20), steps),
+        ("basic_slider_crank", scenes.basic_slider_crank, steps),
+        ("shape_editing", scenes.shape_editing, steps),
     ]
 
 
