@@ -352,3 +352,13 @@ def test_edge_test_golden():
     e = _errs(scenes.edge_test, "edge_test_120.jsonl", 120, 3)
     assert e.max() < 5e-3, e.max()
     assert e[-1] < 1e-4, e[-1]
+
+
+def test_basic_slider_crank_golden():
+    """BasicSliderCrank.h (golden10.cpp): three revolutes + prismatic
+    guide swinging under gravity. Measured max 3.7e-3 over 240 steps,
+    3.4e-4 terminal."""
+    e = _errs(scenes.basic_slider_crank, "basic_slider_crank_240.jsonl",
+              240, 4)
+    assert e.max() < 0.01, e.max()
+    assert e[-1] < 2e-3, e[-1]

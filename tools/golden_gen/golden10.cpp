@@ -168,11 +168,69 @@ static void edge_test() {
     run(w, 120);
 }
 
+// BasicSliderCrank.h verbatim: ground pivot at (0,17), crank 4x1 at
+// (-8,20), rod 8x1 at (4,20), fixed-rotation piston 3x3 at (12,20);
+// three revolutes + one horizontal prismatic guide.
+static void basic_slider_crank() {
+    b2World w(b2Vec2(0, -10));
+    b2Body* ground;
+    {
+        b2BodyDef bd;
+        bd.position.Set(0.0f, 17.0f);
+        ground = w.CreateBody(&bd);
+    }
+    b2Body* prev = ground;
+    {
+        b2PolygonShape shape;
+        shape.SetAsBox(4.0f, 1.0f);
+        b2BodyDef bd;
+        bd.type = b2_dynamicBody;
+        bd.position.Set(-8.0f, 20.0f);
+        b2Body* body = w.CreateBody(&bd);
+        body->CreateFixture(&shape, 2.0f);
+        b2RevoluteJointDef rjd;
+        rjd.Initialize(prev, body, b2Vec2(-12.0f, 20.0f));
+        w.CreateJoint(&rjd);
+        prev = body;
+    }
+    {
+        b2PolygonShape shape;
+        shape.SetAsBox(8.0f, 1.0f);
+        b2BodyDef bd;
+        bd.type = b2_dynamicBody;
+        bd.position.Set(4.0f, 20.0f);
+        b2Body* body = w.CreateBody(&bd);
+        body->CreateFixture(&shape, 2.0f);
+        b2RevoluteJointDef rjd;
+        rjd.Initialize(prev, body, b2Vec2(-4.0f, 20.0f));
+        w.CreateJoint(&rjd);
+        prev = body;
+    }
+    {
+        b2PolygonShape shape;
+        shape.SetAsBox(3.0f, 3.0f);
+        b2BodyDef bd;
+        bd.type = b2_dynamicBody;
+        bd.fixedRotation = true;
+        bd.position.Set(12.0f, 20.0f);
+        b2Body* body = w.CreateBody(&bd);
+        body->CreateFixture(&shape, 2.0f);
+        b2RevoluteJointDef rjd;
+        rjd.Initialize(prev, body, b2Vec2(12.0f, 20.0f));
+        w.CreateJoint(&rjd);
+        b2PrismaticJointDef pjd;
+        pjd.Initialize(ground, body, b2Vec2(12.0f, 17.0f), b2Vec2(1.0f, 0.0f));
+        w.CreateJoint(&pjd);
+    }
+    run(w, 240);
+}
+
 int main(int argc, char** argv) {
     if (argc < 2) return 1;
     if (!strcmp(argv[1], "skier")) skier();
     else if (!strcmp(argv[1], "chain_problem")) chain_problem();
     else if (!strcmp(argv[1], "edge_test")) edge_test();
+    else if (!strcmp(argv[1], "basic_slider_crank")) basic_slider_crank();
     else return 2;
     return 0;
 }
