@@ -915,3 +915,32 @@ def set_awake(state: State, body, flag: bool) -> State:
         sleep_time=b.sleep_time.at[body].set(0.0),
         v=b.v.at[body].set(0.0), w=b.w.at[body].set(0.0),
         force=b.force.at[body].set(0.0), torque=b.torque.at[body].set(0.0))
+
+
+def shift_origin(state: State, new_origin) -> State:
+    """b2World::ShiftOrigin (b2World.cpp:2084-2105): subtract `new_origin`
+    from every world-frame position — body transforms and sweep centers,
+    mouse-joint targets (b2MouseJoint.cpp:220-223), pulley ground anchors
+    (b2PulleyJoint.cpp:345-349), and the broad-phase fat AABBs (so no pair
+    refresh is triggered; overlap is translation-invariant)."""
+    o = jnp.asarray(new_origin, jnp.float32)
+    b = state.bodies
+    bodies = dataclasses.replace(b, c=b.c - o, c0=b.c0 - o)
+    fx = state.fixtures
+    fixtures = dataclasses.replace(
+        fx, aabb_lo=fx.aabb_lo - o, aabb_hi=fx.aabb_hi - o)
+    state = dataclasses.replace(state, bodies=bodies, fixtures=fixtures)
+    joints = state.joints
+    upd = {}
+    if joints.mouse.body_a.shape[0]:
+        mj = joints.mouse
+        upd["mouse"] = dataclasses.replace(mj, target=mj.target - o)
+    if joints.pulley.body_a.shape[0]:
+        pj = joints.pulley
+        upd["pulley"] = dataclasses.replace(
+            pj, ground_anchor_a=pj.ground_anchor_a - o,
+            ground_anchor_b=pj.ground_anchor_b - o)
+    if upd:
+        state = dataclasses.replace(
+            state, joints=dataclasses.replace(joints, **upd))
+    return state

@@ -108,3 +108,27 @@ def test_remove_body_deactivates_joints():
     st = wb.freeze()
     st = mutate.remove_body(st, 1)
     assert not bool(st.joints.revolute.active[0])
+
+
+def test_shift_origin_translation_invariant():
+    """b2World::ShiftOrigin: shifting the origin mid-run translates every
+    world position without perturbing the dynamics — continuing the
+    shifted world reproduces the unshifted trajectory exactly, offset by
+    the shift (pulley_pair covers the ground-anchor shift)."""
+    from box2d_mt_tpu.models import scenes
+
+    st = scenes.pulley_pair()
+    kinds = world.possible_kinds(st)
+    for _ in range(30):
+        st, _ = world.step(st, 1 / 60, kinds=kinds)
+    o = np.array([100.0, -25.0], np.float32)
+    st_shift = mutate.shift_origin(st, o)
+    for _ in range(60):
+        st, _ = world.step(st, 1 / 60, kinds=kinds)
+        st_shift, _ = world.step(st_shift, 1 / 60, kinds=kinds)
+    live = np.asarray(st.bodies.exists)
+    ca = np.asarray(st.bodies.c)[live]
+    cb = np.asarray(st_shift.bodies.c)[live]
+    assert np.allclose(ca - o, cb, atol=2e-4), np.abs(ca - o - cb).max()
+    assert np.array_equal(np.asarray(st.bodies.a)[live],
+                          np.asarray(st_shift.bodies.a)[live])
