@@ -146,3 +146,17 @@ def test_dump_source_compacts_removed_bodies():
     pa = np.asarray(st.bodies.xf_p)[np.asarray(st.bodies.exists)]
     pb = np.asarray(st2.bodies.xf_p)[np.asarray(st2.bodies.exists)]
     assert np.allclose(pa, pb, atol=1e-5)
+
+
+def test_broadphase_quality_metrics():
+    """Tree-quality probe analog (b2World.h:198-206): the grid metrics
+    must report sane loads on a dense pile and count oversized fixtures
+    as dense-pairing fallbacks."""
+    st = scenes.pyramid(8)
+    q = diagnostics.broadphase_quality(st)
+    n_fx = int(np.asarray(st.fixtures.exists).sum())
+    assert q["fixtures"] == n_fx
+    assert q["large_fixtures"] >= 1          # the ground edge
+    assert 1 <= q["max_bucket_load"] <= n_fx
+    assert 0.0 < q["pair_fill"] <= 1.0
+    assert q["cell_size"] > 0.0
