@@ -978,7 +978,8 @@ def breakable():
                       density=1.0)
     wb.create_fixture(b, shapes.Polygon.box(0.5, 0.5, (0.5, 0.0), 0.0),
                       density=1.0)
-    return wb.freeze()
+    # spare slots for the split piece (mutate.add_body/add_fixture)
+    return wb.freeze(body_capacity=4)
 
 
 def bullet_test():
