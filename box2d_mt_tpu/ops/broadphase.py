@@ -454,24 +454,18 @@ def carry_over_contacts(old, f_a, f_b, nf: int):
     `old` is the previous Contacts pytree (sorted canonical keys);
     (f_a, f_b) the new role-ordered pairs in sorted canonical key order.
     """
+    big = jnp.iinfo(jnp.int32).max
     old_lo = jnp.minimum(old.f_a, old.f_b)
     old_hi = jnp.maximum(old.f_a, old.f_b)
-    old_key = old_lo * nf + old_hi
+    old_key = jnp.where(old.f_a >= 0, old_lo * nf + old_hi, big)
     new_lo = jnp.minimum(f_a, f_b)
     new_hi = jnp.maximum(f_a, f_b)
-    new_key = new_lo * nf + new_hi
-
-    # key-match as a one-hot (C_new, C_old) compare + matmul — keys are
-    # unique among valid slots, so each row has at most one hit. This is
-    # the TPU-cheap form of the sorted merge (no searchsorted gathers).
-    m = ((new_key[:, None] == old_key[None, :])
-         & (old.f_a >= 0)[None, :] & (f_a >= 0)[:, None])
-    mf = m.astype(jnp.float32)
+    new_key = jnp.where(f_a >= 0, new_lo * nf + new_hi, big)
 
     # m_ids are 32-bit packed feature keys — split into two f32-exact
     # 16-bit halves for the matmul transfer. The material overrides ride
     # shifted by +1 so unmatched (new) pairs land at their -1 "unset"
-    # default after the matmul zeros them.
+    # default after the transfer zeros them.
     ids_lo = (old.m_ids & 0xFFFF).astype(jnp.float32)
     ids_hi = ((old.m_ids >> 16) & 0xFFFF).astype(jnp.float32)
     blob = jnp.concatenate([
@@ -486,7 +480,28 @@ def carry_over_contacts(old, f_a, f_b, nf: int):
         (old.friction_override + 1.0)[:, None],
         (old.restitution_override + 1.0)[:, None],
     ], axis=1)                                           # (C, 22)
-    g = jnp.matmul(mf, blob, precision=jax.lax.Precision.HIGHEST)
+
+    nc = old_key.shape[0]
+    if nc <= 512:
+        # key-match as a one-hot (C_new, C_old) compare + matmul — keys
+        # are unique among valid slots, so each row has at most one hit.
+        # At small C this single fused op beats the sorted merge's gather
+        # DMA fixed costs.
+        m = (new_key[:, None] == old_key[None, :]) & (old_key != big)[None, :]
+        mf = m.astype(jnp.float32)
+        g = jnp.matmul(mf, blob, precision=jax.lax.Precision.HIGHEST)
+    else:
+        # sorted merge: O(C log C) instead of the O(C^2) matmul, whose
+        # (C, C) one-hot is 64 MB/world at C=4096 (the big-world OOM).
+        # Both tables carry invalid slots remapped to `big`, so a plain
+        # argsort puts valid keys ascending with sentinels at the tail.
+        perm = jnp.argsort(old_key)
+        skey = old_key[perm]
+        pos = jnp.searchsorted(skey, new_key)
+        posc = jnp.clip(pos, 0, nc - 1)
+        hit = (skey[posc] == new_key) & (new_key != big)
+        rows = jnp.where(hit, perm[posc], 0)
+        g = jnp.where(hit[:, None], blob[rows], 0.0)
 
     ids = (g[:, 15:17].astype(jnp.int32)
            | (g[:, 17:19].astype(jnp.int32) << 16))

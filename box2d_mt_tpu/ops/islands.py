@@ -58,15 +58,24 @@ def island_labels(n_bodies: int, edges_a, edges_b, edge_active, body_connectable
     adj &= body_connectable[:, None] & body_connectable[None, :]
     adj = adj | adj.T | jnp.eye(n_bodies, dtype=bool)
 
-    # closure = adj^(2^k): doubles reach per squaring
+    # closure = adj^(2^k): doubles reach per squaring. Stop as soon as a
+    # squaring adds nothing — the loop then costs log2(graph diameter)
+    # matmuls, not log2(N) (a 990-body pyramid converges in ~6, not 10).
     n_sq = max(1, (n_bodies - 1).bit_length())
 
-    def square(_, a):
-        af = a.astype(jnp.float32)
-        return jnp.matmul(af, af,
-                          precision=jax.lax.Precision.DEFAULT) > 0.0
+    def sq_cond(carry):
+        k, _, changed = carry
+        return (k < n_sq) & changed
 
-    closure = jax.lax.fori_loop(0, n_sq, square, adj)
+    def sq_body(carry):
+        k, a, _ = carry
+        af = a.astype(jnp.float32)
+        nxt = jnp.matmul(af, af,
+                         precision=jax.lax.Precision.DEFAULT) > 0.0
+        return k + 1, nxt, jnp.any(nxt != a)
+
+    _, closure, _ = jax.lax.while_loop(
+        sq_cond, sq_body, (jnp.int32(0), adj, jnp.bool_(True)))
     # argmax over bool finds the FIRST set bit = min reachable body index
     labels = jnp.argmax(closure, axis=1).astype(jnp.int32)
     return jnp.where(body_connectable, labels, rng)

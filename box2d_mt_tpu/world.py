@@ -43,6 +43,7 @@ from .ops import broadphase, coloring, distance, islands, integrate
 from .ops.gather import gather_rows, gather_scalar, scatter_add, scatter_min_scalar, scatter_max_scalar
 from .ops import narrowphase as nph
 from .ops import solver as csolver
+from .ops import pallas_solve
 
 
 class Events(NamedTuple):
@@ -539,6 +540,16 @@ def _solve_middle_b(states: State, pre: _PreSolve, dt,
     v = jnp.stack([bs[:, 0], bs[:, 1]], axis=-1)
     w = bs[:, 2]
 
+    have_joints = joints_present(states.joints)
+    # fused Pallas middle for big joint-free worlds: the XLA chunk loops
+    # below cost a fixed dispatch bundle per (iteration x color chunk),
+    # which dominates once chunks are many (see ops/pallas_solve.py)
+    _min_nb = int(os.environ.get("BOX2D_TPU_PALLAS_SOLVE_MIN_NB", "512"))
+    use_pallas_mid = (not have_joints and nb >= _min_nb
+                      and nc % pallas_solve.CK == 0
+                      and (_use_pallas_toi()
+                           or os.environ.get("BOX2D_TPU_FORCE_PALLAS_SOLVE")))
+
     # ---- compact constraints into chunk-aligned color-packed lanes. The
     # color and within-color rank come straight out of the coloring rounds,
     # so the permutation is pure arithmetic + one scatter (no sort).
@@ -549,8 +560,9 @@ def _solve_middle_b(states: State, pre: _PreSolve, dt,
     # dominates cost (each pass is a fixed bundle of small kernels), so ck
     # stays wide: passes ~= number of colors. Capped for huge single
     # worlds where a full-width pass would thrash (giant colors just take
-    # several passes).
-    ck = min(nc, nb, 2048)
+    # several passes). The Pallas middle prefers narrow chunks (pass count
+    # is nearly free inside the kernel; padding is not).
+    ck = pallas_solve.CK if use_pallas_mid else min(nc, nb, 2048)
     p_total = nc + max_colors * ck
     lane_ok = cc.active & (color >= 0)
     mc_iota = jnp.arange(max_colors)
@@ -572,6 +584,41 @@ def _solve_middle_b(states: State, pre: _PreSolve, dt,
     blob = jnp.concatenate(
         [blob, jnp.zeros((n_worlds, 1, csolver.CC_BLOB_K), blob.dtype)],
         axis=1)                                          # dump row = nc
+
+    if use_pallas_mid:
+        # native gather is the right packing move at big-world batch sizes
+        # (few worlds, large C — the one-hot einsum below is sized for the
+        # thousands-of-small-worlds regime)
+        pblob_t = jnp.swapaxes(
+            jnp.take_along_axis(blob, perm[..., None], axis=1), 1, 2)
+        zeros5 = jnp.zeros((n_worlds, 5, nb), jnp.float32)
+        vel_in = jnp.concatenate([bs, zeros5], axis=1)    # (W, 8, N)
+        pos_in = jnp.concatenate([
+            bodies.c[..., 0][:, None], bodies.c[..., 1][:, None],
+            bodies.a[:, None], pre.solve_mask.astype(jnp.float32)[:, None],
+            jnp.zeros((n_worlds, 4, nb), jnp.float32)], axis=1)
+        velo, poso, aux = pallas_solve.solve_middle_pallas(
+            pblob_t, vel_in, pos_in, n_chunks, dt,
+            velocity_iterations, position_iterations,
+            interpret=not _use_pallas_toi())
+        v = jnp.stack([velo[:, 0], velo[:, 1]], axis=-1)
+        w = velo[:, 2]
+        c = jnp.stack([poso[:, 0], poso[:, 1]], axis=-1)
+        a = poso[:, 2]
+        solved = dest < p_total
+        idx = jnp.where(solved, dest, 0)
+        got = jnp.take_along_axis(aux[:, :5, :], idx[:, None, :], axis=2)
+        ni_it = jnp.where(solved[..., None],
+                          jnp.stack([got[:, 0], got[:, 1]], axis=-1),
+                          pre.ni_it)
+        ti_it = jnp.where(solved[..., None],
+                          jnp.stack([got[:, 2], got[:, 3]], axis=-1),
+                          pre.ti_it)
+        min_sep = jnp.where(solved, got[:, 4], 0.0)
+        jok = jnp.ones((n_worlds, nb), bool)
+        return (ni_it, ti_it, c, a, v, w, min_sep, jok,
+                states.joints), dropped
+
     # one-hot einsum, not take_along_axis: the native batched gather's DMA
     # pattern costs ~25x more at 4096 worlds (measured 257 ms vs 11 ms)
     perm_oh = (perm[:, :, None] == jnp.arange(nc + 1)[None, None, :]
@@ -589,7 +636,6 @@ def _solve_middle_b(states: State, pre: _PreSolve, dt,
     def pack(v, w):
         return jnp.stack([v[..., 0], v[..., 1], w], axis=-2)
 
-    have_joints = joints_present(states.joints)
     if have_joints:
         from .joints import (init_joints, warm_start_joints,
                              solve_joint_velocity, solve_joint_position,
