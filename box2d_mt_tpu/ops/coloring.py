@@ -114,157 +114,85 @@ def color_constraints(body_a, body_b, conflict_a, conflict_b, active,
         _, color, remaining, rank = jax.lax.while_loop(
             cond, round_body, (jnp.int32(0), color, remaining, rank))
     else:
-        # large worlds: capacity K exceeds the conflict-matrix budget, but
-        # the ACTIVE constraint count rarely does — compact actives onto CW
-        # lanes (stable, so lane order = slot order) and run the same
-        # matrix algorithm there. The conflict matrix is built by direct
-        # endpoint compares, (CW, CW) x 4, independent of body capacity.
-        # Lane priorities are a deterministic bit-mix of the original slot
-        # (pure function of the slot, so identical worlds still color
-        # identically): slot-index priorities form monotone conflict
-        # chains along deep stacks, making the maximal-set sweep take
-        # O(chain length) iterations; hashing restores Luby's O(log K)
-        # expected rounds. Actives beyond CW (and past the color budget)
-        # fall to the shared last-color Jacobi fallback below and are
-        # counted in `overflow`.
-        CW = 2048
-        order = jnp.argsort(jnp.where(active, 0, 1).astype(jnp.int32),
-                            stable=True)
-        sel = order[:CW]                                # (CW,) slot ids
-        l_act = active[sel]
-        l_ba = body_a[sel]
-        l_bb = body_b[sel]
-        l_ca = conflict_a[sel] & l_act
-        l_cb = conflict_b[sel] & l_act
-        # 15-bit hash of the slot, lane index as tie-break: distinct,
-        # positive, pseudo-random ordering
-        h = (sel.astype(jnp.uint32) * jnp.uint32(0x9E3779B1)) >> 17
-        l_prio = (h.astype(jnp.int32) << 16) | jnp.arange(CW,
-                                                          dtype=jnp.int32)
-
-        conflict = ((l_ca[:, None] & l_ca[None, :]
-                     & (l_ba[:, None] == l_ba[None, :]))
-                    | (l_ca[:, None] & l_cb[None, :]
-                       & (l_ba[:, None] == l_bb[None, :]))
-                    | (l_cb[:, None] & l_ca[None, :]
-                       & (l_bb[:, None] == l_ba[None, :]))
-                    | (l_cb[:, None] & l_cb[None, :]
-                       & (l_bb[:, None] == l_bb[None, :])))
-        conflict = conflict & ~jnp.eye(CW, dtype=bool)
-        # bf16 storage halves the HBM traffic of the inner matvecs; the
-        # results are only ever tested > 0 (sums of positive 1.0s never
-        # round to 0 in bf16), so the demotion is exact for this use
-        conf_lower = (conflict
-                      & (l_prio[:, None] > l_prio[None, :])
-                      ).astype(jnp.bfloat16)
-        conflict_f = conflict.astype(jnp.bfloat16)
-
-        def maximal_set(remaining):
-            def m_cond(carry):
-                _, cand = carry
-                return jnp.any(cand)
-
-            def m_body(carry):
-                chosen, cand = carry
-                blocked = jnp.matmul(
-                    conf_lower, cand.astype(jnp.bfloat16)[:, None],
-                    precision=jax.lax.Precision.DEFAULT)[:, 0] > 0.0
-                winner = cand & ~blocked
-                nbr = jnp.matmul(
-                    conflict_f, winner.astype(jnp.bfloat16)[:, None],
-                    precision=jax.lax.Precision.DEFAULT)[:, 0] > 0.0
-                return chosen | winner, cand & ~winner & ~nbr
-
-            chosen, _ = jax.lax.while_loop(
-                m_cond, m_body, (jnp.zeros(CW, bool), remaining))
-            return chosen
-
-        def cond(carry):
-            c, color_l, remaining_l, rank_l = carry
-            return (c < max_colors - 1) & jnp.any(remaining_l)
-
-        def round_body(carry):
-            c, color_l, remaining_l, rank_l = carry
-            chosen = maximal_set(remaining_l)
-            color_l = jnp.where(chosen, c, color_l)
-            if with_rank:
-                # lane order = slot order (stable compaction), so this
-                # cumsum matches the full-size slot-order rank
-                rank_l = jnp.where(
-                    chosen, jnp.cumsum(chosen.astype(jnp.int32)) - 1,
-                    rank_l)
-            return c + 1, color_l, remaining_l & ~chosen, rank_l
-
-        _, color_l, _, rank_l = jax.lax.while_loop(
-            cond, round_body,
-            (jnp.int32(0), jnp.full(CW, -1, jnp.int32), l_act,
-             jnp.zeros(CW, jnp.int32)))
-
-        # scatter lane results back to slots
-        color = color.at[sel].set(jnp.where(l_act, color_l, -1))
-        rank = rank.at[sel].set(jnp.where(l_act, rank_l, 0))
-        remaining = active & (color < 0)
-
-        # ---- leftover tier (actives beyond the CW compaction window,
-        # e.g. >2048 touching contacts in ONE world): hashed-priority
-        # Jones-Plassmann rounds over the full table. Each round c takes
-        # the leftover local minima whose bodies are not already occupied
-        # by a color-c constraint (so it composes soundly with the matrix
-        # tier). Zero-trip when the compaction window covered everything.
+        # large worlds: the (K, K) conflict matrix is out of budget (and
+        # at batch x K x K it was the big-world OOM), so color the FULL
+        # table with scatter-based Jones-Plassmann: each round, every
+        # uncolored constraint whose hashed priority is the minimum among
+        # uncolored constraints on BOTH its conflicting bodies picks the
+        # smallest color not yet used on those bodies (tracked as per-body
+        # color bitmasks). Two same-round winners never share a body (only
+        # the body's minimum wins), so colors stay conflict-free. Hashed
+        # priorities give O(log K) expected rounds; each round is a handful
+        # of O(K)/O(N) scatters — no K^2 anything.
+        assert max_colors <= 32, "bitmask JP supports <=32 colors"
         nb1 = n_bodies + 1
-        idx_a = jnp.where(conflict_a, body_a, n_bodies)
-        idx_b = jnp.where(conflict_b, body_b, n_bodies)
+        idx_a = jnp.clip(jnp.where(conflict_a, body_a, n_bodies), 0, nb1 - 1)
+        idx_b = jnp.clip(jnp.where(conflict_b, body_b, n_bodies), 0, nb1 - 1)
         hp = (jnp.arange(k, dtype=jnp.uint32) * jnp.uint32(0x9E3779B1)
               ) >> 17
-        # 15-bit hash + low 16 slot bits: unique for k <= 65536 (the
-        # broadphase pair-key encoding already caps fixture slots at 65535)
+        # 15-bit hash + low 16 slot bits: distinct, positive, pseudo-random
+        # (unique for k <= 65536; the broadphase pair-key encoding already
+        # caps fixture slots at 65535). Pure function of the slot, so
+        # identical worlds color identically.
         hprio = (hp.astype(jnp.int32) << 16) | (
             jnp.arange(k, dtype=jnp.int32) & 0xFFFF)
+        usable = jnp.int32((1 << (max_colors - 1)) - 1)  # bits 0..mc-2
 
         def jp_cond(carry):
-            c, color, remaining, rank = carry
-            return (c < max_colors - 1) & jnp.any(remaining)
+            r, color, remaining, _ = carry
+            return (r < k) & jnp.any(remaining)
 
         def jp_round(carry):
-            c, color, remaining, rank = carry
-            in_c = color == c
-            # body occupancy of color c (scatter-min of 0 marks occupied)
-            occ = jnp.minimum(
-                jnp.full(nb1, 1, jnp.int32).at[
-                    jnp.clip(jnp.where(in_c & conflict_a, idx_a, n_bodies),
-                             0, nb1 - 1)].min(
-                    jnp.where(in_c & conflict_a, 0, 1)),
-                jnp.full(nb1, 1, jnp.int32).at[
-                    jnp.clip(jnp.where(in_c & conflict_b, idx_b, n_bodies),
-                             0, nb1 - 1)].min(
-                    jnp.where(in_c & conflict_b, 0, 1))) == 0
-            blocked = (conflict_a & occ[jnp.clip(idx_a, 0, nb1 - 1)]) | \
-                      (conflict_b & occ[jnp.clip(idx_b, 0, nb1 - 1)])
-            cand = remaining & ~blocked
-            key = jnp.where(cand, hprio, BIG)
-            slot = jnp.minimum(
-                jnp.full(nb1, BIG, jnp.int32).at[
-                    jnp.clip(idx_a, 0, nb1 - 1)].min(
-                    jnp.where(idx_a < n_bodies, key, BIG)),
-                jnp.full(nb1, BIG, jnp.int32).at[
-                    jnp.clip(idx_b, 0, nb1 - 1)].min(
-                    jnp.where(idx_b < n_bodies, key, BIG)))
-            winner = cand \
-                & (~conflict_a | (slot[jnp.clip(idx_a, 0, nb1 - 1)]
-                                  == hprio)) \
-                & (~conflict_b | (slot[jnp.clip(idx_b, 0, nb1 - 1)]
-                                  == hprio))
-            color = jnp.where(winner, c, color)
-            if with_rank:
-                # continue rank numbering after the color's existing count
-                base = jnp.sum(in_c)
-                rank = jnp.where(
-                    winner,
-                    base + jnp.cumsum(winner.astype(jnp.int32)) - 1, rank)
-            return c + 1, color, remaining & ~winner, rank
+            r, color, remaining, mask = carry
+            key = jnp.where(remaining, hprio, BIG)
+            mins = jnp.minimum(
+                jnp.full(nb1, BIG, jnp.int32).at[idx_a].min(
+                    jnp.where(conflict_a, key, BIG)),
+                jnp.full(nb1, BIG, jnp.int32).at[idx_b].min(
+                    jnp.where(conflict_b, key, BIG)))
+            winner = remaining \
+                & (~conflict_a | (mins[idx_a] == hprio)) \
+                & (~conflict_b | (mins[idx_b] == hprio))
+            # smallest usable color absent from both bodies' masks; all
+            # taken -> park in the last color (Jacobi fallback, counted
+            # by the caller via color==-1 leftovers... none here, so park
+            # directly at max_colors-1; overflow counted below)
+            free = ~(mask[idx_a] | mask[idx_b]) & usable
+            lsb = free & -free
+            c_new = jax.lax.population_count(lsb - 1)
+            c_new = jnp.where(lsb > 0, c_new, max_colors - 1)
+            color = jnp.where(winner, c_new, color)
+            # a body sees at most one winner per round (the min is unique),
+            # so per-round scatter-max yields that winner's single bit;
+            # OR it into the accumulated mask (max would drop older bits)
+            bit = jnp.where(winner, jnp.int32(1) << c_new, 0)
+            mask = mask | jnp.maximum(
+                jnp.zeros(nb1, jnp.int32).at[idx_a].max(
+                    jnp.where(conflict_a, bit, 0)),
+                jnp.zeros(nb1, jnp.int32).at[idx_b].max(
+                    jnp.where(conflict_b, bit, 0)))
+            return r + 1, color, remaining & ~winner, mask
 
-        _, color, remaining, rank = jax.lax.while_loop(
-            jp_cond, jp_round, (jnp.int32(0), color, remaining, rank))
+        _, color, remaining, _ = jax.lax.while_loop(
+            jp_cond, jp_round,
+            (jnp.int32(0), color, active, jnp.zeros(nb1, jnp.int32)))
+        # a winner parked at max_colors-1 because its bodies' usable bits
+        # were exhausted shares the Jacobi fallback color; count it
+        remaining = jnp.zeros(k, bool)
+        overflow_parked = jnp.sum(active & (color == max_colors - 1))
+        if with_rank:
+            oh = (color[:, None] ==
+                  jnp.arange(max_colors)[None, :]) & active[:, None]
+            rank = jnp.where(
+                active,
+                jnp.take_along_axis(
+                    jnp.cumsum(oh.astype(jnp.int32), axis=0) - 1,
+                    jnp.clip(color, 0)[:, None], axis=1)[:, 0],
+                0)
+            overflow = overflow_parked
+            color = jnp.where(active, color, -1)
+            return color, overflow, rank
+        return jnp.where(active, color, -1), overflow_parked
     # overflow: park leftovers in the last color (Jacobi-sum fallback)
     overflow = jnp.sum(remaining)
     color = jnp.where(remaining, max_colors - 1, color)

@@ -35,10 +35,12 @@ def island_labels(n_bodies: int, edges_a, edges_b, edge_active, body_connectable
     squaring — log2(diameter) MXU matmuls over the (N, N) reachability
     matrix — instead of scatter/gather label propagation. The label is the
     minimum reachable body index, identical to the DFS island numbering
-    (b2World.cpp:1207-1330) up to island naming. Past ~1k bodies the N³
-    squarings lose to plain label propagation, which takes over.
+    (b2World.cpp:1207-1330) up to island naming. Past a few hundred bodies
+    the N³ squarings lose to plain label propagation, which takes over
+    (the crossover is early because the closure runs batched under vmap:
+    W x N x N x N flops vs the propagate path's W x O(E) scatters).
     """
-    if n_bodies > 1024:
+    if n_bodies > 256:
         return _island_labels_propagate(n_bodies, edges_a, edges_b,
                                         edge_active, body_connectable,
                                         rounds)
