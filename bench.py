@@ -4,18 +4,27 @@
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, "detail": {...}}
 
-detail includes a per-phase breakdown (the b2Profile analog) and a 1k-body
-pyramid measurement (the BASELINE.md north-star shape).
+detail includes a per-phase breakdown (the b2Profile analog), a 1k-body
+pyramid measurement (the BASELINE.md north-star shape), and an MFU
+estimate from a flops model of the solver math.
 
 Baseline: the reference publishes no absolute numbers; `vs_baseline` is
 measured worlds*steps/sec divided by the measured reference single-world
 steps/sec on this host's CPU (tools/ref_baseline.json).
+
+Resilience (the TestMT.cpp:146-186 always-emits discipline): a device
+preflight runs in a SUBPROCESS with a timeout so a hung TPU tunnel cannot
+hang the bench; every section runs in its own try/except with one retry,
+and the JSON line is emitted with whatever succeeded — errors are recorded
+in detail["errors"] instead of forfeiting the run.
 """
 
 import json
 import os
+import subprocess
 import sys
 import time
+import traceback
 
 # persistent compilation cache: repeat bench/driver runs skip the 30-40s
 # cold compile per shape (first-ever run still pays it)
@@ -23,28 +32,75 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache-tpu")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
-import jax
-import jax.numpy as jnp
-import numpy as np
+PREFLIGHT_TIMEOUT_S = int(os.environ.get("BENCH_PREFLIGHT_TIMEOUT", "90"))
 
 
-def _sync(out):
-    """Host-fetch one element: block_until_ready does not synchronize on
-    the axon tunnel backend."""
-    np.asarray(jax.tree.leaves(out)[0].ravel()[0:1])
+def _preflight():
+    """Device check in a subprocess: a hung backend init (observed >400 s
+    on the axon tunnel) times out instead of hanging the bench. Returns
+    (ok, message)."""
+    code = ("import jax, jax.numpy as jnp; "
+            "x = jnp.ones((128, 128)); (x @ x).block_until_ready(); "
+            "print(jax.devices()[0].device_kind)")
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, text=True,
+                           timeout=PREFLIGHT_TIMEOUT_S)
+    except subprocess.TimeoutExpired:
+        return False, f"device preflight timed out after {PREFLIGHT_TIMEOUT_S}s"
+    if r.returncode != 0:
+        return False, "device preflight failed: " + r.stderr.strip()[-500:]
+    return True, r.stdout.strip()
 
 
-def _time(fn, *args, reps=3):
-    out = fn(*args)
-    _sync(out)
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(*args)
-    _sync(out)
-    return (time.perf_counter() - t0) / reps
+def _emit(value, unit, metric, vs_baseline, detail):
+    print(json.dumps({
+        "metric": metric, "value": value, "unit": unit,
+        "vs_baseline": vs_baseline, "detail": detail,
+    }), flush=True)
 
 
 def main():
+    errors = {}
+
+    def section(name, fn, retries=1):
+        """Run one bench section; on failure retry once, then record the
+        error and keep going (never forfeit the whole run)."""
+        for attempt in range(retries + 1):
+            try:
+                return fn()
+            except Exception as e:
+                msg = f"{type(e).__name__}: {e}"
+                sys.stderr.write(f"[bench] section {name} attempt "
+                                 f"{attempt}: {msg}\n")
+                sys.stderr.write(traceback.format_exc()[-2000:] + "\n")
+                errors[name] = msg[:500]
+        return None
+
+    ok, pf_msg = _preflight()
+    if not ok:
+        _emit(0.0, "worlds*steps/s", "bench unavailable: " + pf_msg, 0.0,
+              {"errors": {"preflight": pf_msg}})
+        return 0
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    def _sync(out):
+        """Host-fetch one element: block_until_ready does not synchronize
+        on the axon tunnel backend."""
+        np.asarray(jax.tree.leaves(out)[0].ravel()[0:1])
+
+    def _time(fn, *args, reps=3):
+        out = fn(*args)
+        _sync(out)
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn(*args)
+        _sync(out)
+        return (time.perf_counter() - t0) / reps
+
     n_worlds = int(os.environ.get("BENCH_WORLDS", "512"))
     rows = int(os.environ.get("BENCH_ROWS", "10"))      # 10 rows = 55 bodies + ground
     n_steps = int(os.environ.get("BENCH_STEPS", "60"))
@@ -56,200 +112,224 @@ def main():
     from box2d_mt_tpu.parallel.sharding import make_rollout, replicate_state
 
     state = scenes.pyramid(rows)
-    n_bodies = int(jnp.sum(state.bodies.body_type >= 0))
-    batched = replicate_state(state, n_worlds)
+    n_bodies = int(np.sum(np.asarray(state.bodies.body_type) >= 0))
     max_colors = int(os.environ.get("BENCH_COLORS", "16"))
     kinds = W.possible_kinds(state)
     dt = jnp.float32(1 / 60)
 
-    # lax.scan rollout: the whole n-step run is ONE program (no per-step
-    # dispatch); this is how production rollouts should drive the engine.
-    roll = make_rollout(n_steps, velocity_iterations=8, position_iterations=3,
-                        max_colors=max_colors)
-
-    t0 = time.perf_counter()
-    out = roll(batched, dt)
-    _sync(out)
-    compile_s = time.perf_counter() - t0
-
-    t0 = time.perf_counter()
-    out = roll(batched, dt)
-    np.asarray(out.bodies.c)     # full host fetch guarantees completion
-    elapsed = time.perf_counter() - t0
-
-    worlds_steps_per_sec = n_worlds * n_steps / elapsed
-
-    detail = {
-        "n_worlds": n_worlds, "n_bodies": n_bodies, "n_steps": n_steps,
-        "elapsed_s": round(elapsed, 3), "compile_s": round(compile_s, 1),
-        "steps_per_sec_per_world": round(worlds_steps_per_sec / n_worlds, 1),
-    }
-
-    if with_phases:
-        # per-phase attribution from whole-step deltas (b2Profile analog;
-        # full isolation lives in tools/profile_phases.py)
-        full = jax.jit(lambda s: W.step_batched(
-            s, dt, kinds=kinds, max_colors=max_colors)[0])
-        no_ccd = jax.jit(lambda s: W.step_batched(
-            s, dt, kinds=kinds, max_colors=max_colors, continuous=False)[0])
-        vi1 = jax.jit(lambda s: W.step_batched(
-            s, dt, kinds=kinds, max_colors=max_colors, continuous=False,
-            velocity_iterations=1, position_iterations=1)[0])
-        t_full = _time(full, out) * 1e3
-        t_noccd = _time(no_ccd, out) * 1e3
-        t_vi1 = _time(vi1, out) * 1e3
-        detail["phases_ms"] = {
-            "step_full": round(t_full, 2),
-            "toi": round(t_full - t_noccd, 2),
-            "solve_iters": round(t_noccd - t_vi1, 2),
-            "base_collide_prepare_post": round(t_vi1, 2),
-        }
-
-    # north-star shape (BASELINE.md): 4096 vmapped pyramid(10) worlds
-    if os.environ.get("BENCH_NORTHSTAR", "1") != "0":
-        ns_worlds = int(os.environ.get("BENCH_NS_WORLDS", "4096"))
-        ns_steps = int(os.environ.get("BENCH_NS_STEPS", "60"))
-        ns = replicate_state(state, ns_worlds)
-        roll_ns = make_rollout(ns_steps, velocity_iterations=8,
-                               position_iterations=3, max_colors=max_colors,
-                               kinds=kinds)
-        t0 = time.perf_counter()
-        on = roll_ns(ns, dt)
-        _sync(on)
-        ns_compile = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        on = roll_ns(ns, dt)
-        _sync(on)
-        ns_elapsed = time.perf_counter() - t0
-        detail["north_star_4096"] = {
-            "n_worlds": ns_worlds, "n_steps": ns_steps,
-            "worlds_steps_per_sec": round(
-                ns_worlds * ns_steps / ns_elapsed, 1),
-            "compile_s": round(ns_compile, 1),
-        }
-
-    # long-window (sleep-parity) measurement: 1000 steps of pyramid(10) —
-    # the window where the reference gains ~7x from the pyramid sleeping at
-    # ~step 100. With sleep parity + the all-asleep fast path, the engine
-    # must win this window too, not just the all-awake 60-step one.
-    if os.environ.get("BENCH_LONGWIN", "1") != "0":
-        lw_worlds = int(os.environ.get("BENCH_LW_WORLDS", "512"))
-        lw_steps = int(os.environ.get("BENCH_LW_STEPS", "1000"))
-        lw = replicate_state(state, lw_worlds)
-        roll_lw = make_rollout(lw_steps, velocity_iterations=8,
-                               position_iterations=3, max_colors=max_colors,
-                               kinds=kinds)
-        t0 = time.perf_counter()
-        ol = roll_lw(lw, dt)
-        _sync(ol)
-        lw_compile = time.perf_counter() - t0
-        t0 = time.perf_counter()
-        ol = roll_lw(lw, dt)
-        _sync(ol)
-        lw_elapsed = time.perf_counter() - t0
-        asleep = not bool(np.asarray(
-            (ol.bodies.awake & (ol.bodies.body_type == 2)).any()))
-        lw_detail = {
-            "n_worlds": lw_worlds, "n_steps": lw_steps,
-            "worlds_steps_per_sec": round(
-                lw_worlds * lw_steps / lw_elapsed, 1),
-            "compile_s": round(lw_compile, 1),
-            "all_asleep_at_end": asleep,
-        }
-        ref_file0 = os.path.join(os.path.dirname(__file__), "tools",
-                                 "ref_baseline.json")
-        if os.path.exists(ref_file0):
-            with open(ref_file0) as f:
-                ref0 = json.load(f)
-            rk = f"pyramid{rows}_steps{lw_steps}_steps_per_sec"
-            if rk in ref0:
-                lw_detail["ref_steps_per_sec"] = ref0[rk]
-                lw_detail["vs_ref"] = round(
-                    lw_detail["worlds_steps_per_sec"] / ref0[rk], 2)
-        detail["long_window"] = lw_detail
-
-    if with_big:
-        big_rows = int(os.environ.get("BENCH_BIG_ROWS", "44"))  # ~990 bodies
-        big_steps = int(os.environ.get("BENCH_BIG_STEPS", "60"))
-        # BASELINE.md north star asks for the largest feasible batch of
-        # ~1k-body worlds: walk a descending ladder and keep the biggest
-        # batch that fits device memory (BENCH_BIG_WORLDS pins one size).
-        if "BENCH_BIG_WORLDS" in os.environ:
-            ladder = [int(os.environ["BENCH_BIG_WORLDS"])]
-        else:
-            ladder = [1024, 256, 64, 16]
-        base_big = scenes.pyramid(big_rows)
-        nb_big = int(jnp.sum(base_big.bodies.body_type >= 0))
-        roll_big = make_rollout(big_steps, velocity_iterations=8,
-                                position_iterations=3, max_colors=max_colors)
-        for big_worlds in ladder:
-            try:
-                big = replicate_state(base_big, big_worlds)
-                t0 = time.perf_counter()
-                ob = roll_big(big, dt)
-                _sync(ob)
-                big_compile = time.perf_counter() - t0
-                t0 = time.perf_counter()
-                ob = roll_big(big, dt)
-                _sync(ob)
-                big_elapsed = time.perf_counter() - t0
-                del ob, big
-                break
-            except Exception as e:  # memory exhaustion: try a smaller batch
-                if big_worlds == ladder[-1]:
-                    raise
-                sys.stderr.write(
-                    f"big_world: {big_worlds} worlds failed "
-                    f"({type(e).__name__}); trying smaller\n")
-        detail["big_world"] = {
-            "n_bodies": nb_big, "n_worlds": big_worlds, "n_steps": big_steps,
-            "worlds_steps_per_sec": round(
-                big_worlds * big_steps / big_elapsed, 1),
-            "compile_s": round(big_compile, 1),
-        }
-        # same-host reference comparison at the 1k-body shape, when measured
-        ref_file0 = os.path.join(os.path.dirname(__file__), "tools",
-                                 "ref_baseline.json")
-        if os.path.exists(ref_file0):
-            with open(ref_file0) as f:
-                ref0 = json.load(f)
-            rk = f"pyramid{big_rows}_steps{big_steps}_steps_per_sec"
-            if rk in ref0:
-                detail["big_world"]["ref_steps_per_sec"] = ref0[rk]
-                detail["big_world"]["vs_ref"] = round(
-                    detail["big_world"]["worlds_steps_per_sec"] / ref0[rk],
-                    2)
-
-    # reference baseline: measured single-world steps/sec if recorded,
-    # else 60 Hz real-time budget.
-    ref_file = os.path.join(os.path.dirname(__file__), "tools",
-                            "ref_baseline.json")
-    ref_steps_per_sec = 60.0
+    ref_file = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "tools", "ref_baseline.json")
+    ref = {}
     if os.path.exists(ref_file):
         with open(ref_file) as f:
             ref = json.load(f)
-        # compare like-for-like step windows ONLY (long windows let the
-        # reference sleep the pyramid and inflate its steps/sec ~7x);
-        # a window with no measured reference row fails loudly instead of
-        # silently falling back to a mismatched window.
-        key = f"pyramid{rows}_steps{n_steps}_steps_per_sec"
-        if key not in ref:
-            raise KeyError(
-                f"tools/ref_baseline.json has no '{key}' — measure the "
-                f"reference at this exact (rows, steps) window with "
-                f"tools/golden_gen/refbench.cpp before comparing")
-        ref_steps_per_sec = ref[key]
-    detail["ref_steps_per_sec"] = ref_steps_per_sec
 
-    print(json.dumps({
-        "metric": f"worlds*steps/sec, {n_worlds} vmapped pyramid({rows}) "
-                  f"worlds ({n_bodies} bodies each), "
-                  f"{jax.devices()[0].device_kind}",
-        "value": round(worlds_steps_per_sec, 1),
-        "unit": "worlds*steps/s",
-        "vs_baseline": round(worlds_steps_per_sec / ref_steps_per_sec, 2),
-        "detail": detail,
-    }))
+    def ref_lookup(rws, stp):
+        # compare like-for-like step windows ONLY (long windows let the
+        # reference sleep the pyramid and inflate its steps/sec ~7x)
+        return ref.get(f"pyramid{rws}_steps{stp}_steps_per_sec")
+
+    def flops_model(nb_active, ncontacts, vi, pi, steps, worlds):
+        """Useful-work flops estimate for the MFU readout: sequential-
+        impulse contact math only (the irreducible physics), not the
+        one-hot gather/scatter machinery. Per contact point: ~60 flops
+        per velocity pass (friction+normal+2x2 LCP amortized), ~90 per
+        position pass (re-derives the world manifold); ~2 points/contact
+        on stacked scenes; integration ~40 flops/body."""
+        per_step = (ncontacts * 2 * (60 * vi + 90 * pi)
+                    + nb_active * 40 * 2)
+        return per_step * steps * worlds
+
+    detail = {"device": pf_msg}
+
+    # ---- headline: 512 vmapped pyramid(10) worlds, 60-step scan rollout
+    def run_headline():
+        batched = replicate_state(state, n_worlds)
+        roll = make_rollout(n_steps, velocity_iterations=8,
+                            position_iterations=3, max_colors=max_colors)
+        t0 = time.perf_counter()
+        out = roll(batched, dt)
+        _sync(out)
+        compile_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        out = roll(batched, dt)
+        np.asarray(out.bodies.c)     # full host fetch guarantees completion
+        elapsed = time.perf_counter() - t0
+        wsps = n_worlds * n_steps / elapsed
+        ncon = int(np.sum(np.asarray(out.contacts.touching[0])))
+        return wsps, compile_s, elapsed, out, ncon
+
+    head = section("headline", run_headline)
+    out = None
+    worlds_steps_per_sec = 0.0
+    if head is not None:
+        worlds_steps_per_sec, compile_s, elapsed, out, ncon = head
+        detail.update({
+            "n_worlds": n_worlds, "n_bodies": n_bodies, "n_steps": n_steps,
+            "elapsed_s": round(elapsed, 3), "compile_s": round(compile_s, 1),
+            "steps_per_sec_per_world": round(
+                worlds_steps_per_sec / n_worlds, 1),
+        })
+        # MFU: solver-math flops over measured wall time vs f32 peak
+        # (v5e MXU: ~197 TFLOP/s bf16; f32-accurate passes ~1/4 of that).
+        peak = float(os.environ.get("BENCH_PEAK_FLOPS", "4.9e13"))
+        fl = flops_model(n_bodies, ncon, 8, 3, n_steps, n_worlds)
+        detail["mfu_estimate"] = round(fl / elapsed / peak, 6)
+        detail["mfu_note"] = (
+            "solver-math flops only vs 49 TFLOP/s f32 peak; the step is "
+            "gather/bandwidth-bound, not matmul-bound, so MFU is expected "
+            "to be ~0 — tracked to diagnose batch-scaling cliffs")
+
+    if with_phases and out is not None:
+        def run_phases():
+            full = jax.jit(lambda s: W.step_batched(
+                s, dt, kinds=kinds, max_colors=max_colors)[0])
+            no_ccd = jax.jit(lambda s: W.step_batched(
+                s, dt, kinds=kinds, max_colors=max_colors,
+                continuous=False)[0])
+            vi1 = jax.jit(lambda s: W.step_batched(
+                s, dt, kinds=kinds, max_colors=max_colors, continuous=False,
+                velocity_iterations=1, position_iterations=1)[0])
+            t_full = _time(full, out) * 1e3
+            t_noccd = _time(no_ccd, out) * 1e3
+            t_vi1 = _time(vi1, out) * 1e3
+            return {
+                "step_full": round(t_full, 2),
+                "toi": round(t_full - t_noccd, 2),
+                "solve_iters": round(t_noccd - t_vi1, 2),
+                "base_collide_prepare_post": round(t_vi1, 2),
+            }
+        ph = section("phases", run_phases)
+        if ph is not None:
+            detail["phases_ms"] = ph
+
+    # ---- north-star shape (BASELINE.md): 4096 vmapped pyramid(10) worlds
+    if os.environ.get("BENCH_NORTHSTAR", "1") != "0":
+        def run_ns():
+            ns_worlds = int(os.environ.get("BENCH_NS_WORLDS", "4096"))
+            ns_steps = int(os.environ.get("BENCH_NS_STEPS", "60"))
+            ns = replicate_state(state, ns_worlds)
+            roll_ns = make_rollout(ns_steps, velocity_iterations=8,
+                                   position_iterations=3,
+                                   max_colors=max_colors, kinds=kinds)
+            t0 = time.perf_counter()
+            on = roll_ns(ns, dt)
+            _sync(on)
+            ns_compile = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            on = roll_ns(ns, dt)
+            _sync(on)
+            ns_elapsed = time.perf_counter() - t0
+            return {
+                "n_worlds": ns_worlds, "n_steps": ns_steps,
+                "worlds_steps_per_sec": round(
+                    ns_worlds * ns_steps / ns_elapsed, 1),
+                "compile_s": round(ns_compile, 1),
+            }
+        ns_d = section("north_star", run_ns)
+        if ns_d is not None:
+            detail["north_star_4096"] = ns_d
+
+    # ---- long-window (sleep-parity): 1000 steps of pyramid(10) — the
+    # window where the reference gains ~7x from the pyramid sleeping at
+    # ~step 100. With sleep parity + the all-asleep fast path, the engine
+    # must win this window too, not just the all-awake 60-step one.
+    if os.environ.get("BENCH_LONGWIN", "1") != "0":
+        def run_lw():
+            lw_worlds = int(os.environ.get("BENCH_LW_WORLDS", "512"))
+            lw_steps = int(os.environ.get("BENCH_LW_STEPS", "1000"))
+            lw = replicate_state(state, lw_worlds)
+            roll_lw = make_rollout(lw_steps, velocity_iterations=8,
+                                   position_iterations=3,
+                                   max_colors=max_colors, kinds=kinds)
+            t0 = time.perf_counter()
+            ol = roll_lw(lw, dt)
+            _sync(ol)
+            lw_compile = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            ol = roll_lw(lw, dt)
+            _sync(ol)
+            lw_elapsed = time.perf_counter() - t0
+            asleep = not bool(np.asarray(
+                (ol.bodies.awake & (ol.bodies.body_type == 2)).any()))
+            d = {
+                "n_worlds": lw_worlds, "n_steps": lw_steps,
+                "worlds_steps_per_sec": round(
+                    lw_worlds * lw_steps / lw_elapsed, 1),
+                "compile_s": round(lw_compile, 1),
+                "all_asleep_at_end": asleep,
+            }
+            r = ref_lookup(rows, lw_steps)
+            if r:
+                d["ref_steps_per_sec"] = r
+                d["vs_ref"] = round(d["worlds_steps_per_sec"] / r, 2)
+            return d
+        lw_d = section("long_window", run_lw)
+        if lw_d is not None:
+            detail["long_window"] = lw_d
+
+    # ---- 1k-body worlds (the BASELINE.md "4096 parallel 1k-body worlds
+    # faster than 8-thread reference steps one" north star)
+    if with_big:
+        def run_big():
+            big_rows = int(os.environ.get("BENCH_BIG_ROWS", "44"))
+            big_steps = int(os.environ.get("BENCH_BIG_STEPS", "60"))
+            if "BENCH_BIG_WORLDS" in os.environ:
+                ladder = [int(os.environ["BENCH_BIG_WORLDS"])]
+            else:
+                ladder = [1024, 256, 64, 16]
+            base_big = scenes.pyramid(big_rows)
+            nb_big = int(np.sum(np.asarray(base_big.bodies.body_type) >= 0))
+            roll_big = make_rollout(big_steps, velocity_iterations=8,
+                                    position_iterations=3,
+                                    max_colors=max_colors)
+            for big_worlds in ladder:
+                try:
+                    big = replicate_state(base_big, big_worlds)
+                    t0 = time.perf_counter()
+                    ob = roll_big(big, dt)
+                    _sync(ob)
+                    big_compile = time.perf_counter() - t0
+                    t0 = time.perf_counter()
+                    ob = roll_big(big, dt)
+                    _sync(ob)
+                    big_elapsed = time.perf_counter() - t0
+                    del ob, big
+                    break
+                except Exception as e:  # memory exhaustion: try smaller
+                    if big_worlds == ladder[-1]:
+                        raise
+                    sys.stderr.write(
+                        f"big_world: {big_worlds} worlds failed "
+                        f"({type(e).__name__}); trying smaller\n")
+            d = {
+                "n_bodies": nb_big, "n_worlds": big_worlds,
+                "n_steps": big_steps,
+                "worlds_steps_per_sec": round(
+                    big_worlds * big_steps / big_elapsed, 1),
+                "compile_s": round(big_compile, 1),
+            }
+            r = ref_lookup(big_rows, big_steps)
+            if r:
+                d["ref_steps_per_sec"] = r
+                d["vs_ref"] = round(d["worlds_steps_per_sec"] / r, 2)
+            return d
+        big_d = section("big_world", run_big)
+        if big_d is not None:
+            detail["big_world"] = big_d
+
+    # reference baseline: measured single-world steps/sec if recorded,
+    # else 60 Hz real-time budget.
+    ref_steps_per_sec = ref_lookup(rows, n_steps) or 60.0
+    detail["ref_steps_per_sec"] = ref_steps_per_sec
+    if errors:
+        detail["errors"] = errors
+
+    _emit(round(worlds_steps_per_sec, 1), "worlds*steps/s",
+          f"worlds*steps/sec, {n_worlds} vmapped pyramid({rows}) "
+          f"worlds ({n_bodies} bodies each), {pf_msg}",
+          round(worlds_steps_per_sec / ref_steps_per_sec, 2), detail)
+    return 0
 
 
 if __name__ == "__main__":
