@@ -277,7 +277,12 @@ def main():
             if "BENCH_BIG_WORLDS" in os.environ:
                 ladder = [int(os.environ["BENCH_BIG_WORLDS"])]
             else:
-                ladder = [1024, 256, 64, 16]
+                # deliberately-oversized attempts are NOT harmless on the
+                # axon tunnel: an OOM during a Pallas-kernel step can crash
+                # the TPU worker outright and hang the backend for every
+                # subsequent run (observed r5; the likely cause of r4's
+                # dead bench). Start at the largest size known to fit.
+                ladder = [128, 64, 16]
             base_big = scenes.pyramid(big_rows)
             nb_big = int(np.sum(np.asarray(base_big.bodies.body_type) >= 0))
             roll_big = make_rollout(big_steps, velocity_iterations=8,

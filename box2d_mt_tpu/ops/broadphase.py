@@ -189,7 +189,10 @@ def find_pairs_allpairs(state: State, capacity: int, filter_fn=None):
     # densely, up to HUB_CAP of them; rows dropped past HUB_CAP are
     # reported in `overflow` (the growable-container analog — never
     # silent).
-    K_ROW = min(64, nf)
+    # narrower K_ROW cuts the per-row top_k cost ~4x at big F (top_k over
+    # the (F, F) mask dominated the 1k-fixture pair pass); small fixtures
+    # overlap ~8-12 others at most, and denser rows spill to the hub path
+    K_ROW = 16 if nf >= 512 else min(64, nf)
     HUB_CAP = min(16, nf)
     imin = jnp.iinfo(jnp.int32).min
     big = jnp.uint32(nf * nf)
@@ -490,9 +493,18 @@ def carry_over_contacts(old, f_a, f_b, nf: int):
         m = (new_key[:, None] == old_key[None, :]) & (old_key != big)[None, :]
         mf = m.astype(jnp.float32)
         g = jnp.matmul(mf, blob, precision=jax.lax.Precision.HIGHEST)
+    elif nc * nc <= (1 << 24):
+        # dense key match: rows[i] = the j with old_key[j] == new_key[i],
+        # found by a fused compare+select+max reduce (no materialized
+        # (C, C) f32 one-hot, no sort, no searchsorted binary-search
+        # gathers — those cost ~25 ns/element-step on TPU and dominated
+        # the big-world step at C=4096). One native row-gather remains.
+        m = (new_key[:, None] == old_key[None, :]) & (old_key != big)[None, :]
+        rows = jnp.max(jnp.where(m, jnp.arange(nc)[None, :], -1), axis=1)
+        hit = rows >= 0
+        g = jnp.where(hit[:, None], blob[jnp.clip(rows, 0)], 0.0)
     else:
-        # sorted merge: O(C log C) instead of the O(C^2) matmul, whose
-        # (C, C) one-hot is 64 MB/world at C=4096 (the big-world OOM).
+        # sorted merge: O(C log C) — the huge-table tier.
         # Both tables carry invalid slots remapped to `big`, so a plain
         # argsort puts valid keys ascending with sentinels at the tail.
         perm = jnp.argsort(old_key)

@@ -35,6 +35,8 @@ rounds the budget binds only past max-degree ~ MAX_COLORS, so overflow
 import jax
 import jax.numpy as jnp
 
+from .gather import gather_scalar, scatter_max_scalar, scatter_min_scalar
+
 BIG = jnp.iinfo(jnp.int32).max
 
 
@@ -128,57 +130,66 @@ def color_constraints(body_a, body_b, conflict_a, conflict_b, active,
         nb1 = n_bodies + 1
         idx_a = jnp.clip(jnp.where(conflict_a, body_a, n_bodies), 0, nb1 - 1)
         idx_b = jnp.clip(jnp.where(conflict_b, body_b, n_bodies), 0, nb1 - 1)
-        hp = (jnp.arange(k, dtype=jnp.uint32) * jnp.uint32(0x9E3779B1)
-              ) >> 17
-        # 15-bit hash + low 16 slot bits: distinct, positive, pseudo-random
-        # (unique for k <= 65536; the broadphase pair-key encoding already
-        # caps fixture slots at 65535). Pure function of the slot, so
-        # identical worlds color identically.
-        hprio = (hp.astype(jnp.int32) << 16) | (
-            jnp.arange(k, dtype=jnp.int32) & 0xFFFF)
-        usable = jnp.int32((1 << (max_colors - 1)) - 1)  # bits 0..mc-2
+        # priorities = 31-bit bit-reversal of the slot index: a bijection,
+        # so priorities are unique (collision-free for ANY table size — a
+        # duplicate could give two same-round winners on one body, and the
+        # per-body scatter-max would drop one winner's color bit), positive,
+        # and low-discrepancy scattered so physically-adjacent slots land in
+        # different rounds (O(log K) expected rounds, like hashed JP). Pure
+        # function of the slot, so identical worlds color identically.
+        x = jnp.arange(k, dtype=jnp.uint32)
+        for sh, m in ((1, 0x55555555), (2, 0x33333333), (4, 0x0F0F0F0F),
+                      (8, 0x00FF00FF)):
+            mm = jnp.uint32(m)
+            x = ((x & mm) << sh) | ((x >> sh) & mm)
+        x = (x << 16) | (x >> 16)
+        hprio = (x >> 1).astype(jnp.int32)
+        # per-body color masks are uint32 so max_colors=32 (bit 31) is safe
+        usable = jnp.uint32((1 << (max_colors - 1)) - 1)  # bits 0..mc-2
 
         def jp_cond(carry):
             r, color, remaining, _ = carry
             return (r < k) & jnp.any(remaining)
 
+        idx_ab = jnp.concatenate([idx_a, idx_b])
+        conf_ab = jnp.concatenate([conflict_a, conflict_b])
+
         def jp_round(carry):
             r, color, remaining, mask = carry
             key = jnp.where(remaining, hprio, BIG)
-            mins = jnp.minimum(
-                jnp.full(nb1, BIG, jnp.int32).at[idx_a].min(
-                    jnp.where(conflict_a, key, BIG)),
-                jnp.full(nb1, BIG, jnp.int32).at[idx_b].min(
-                    jnp.where(conflict_b, key, BIG)))
+            key2 = jnp.concatenate([key, key])
+            mins = scatter_min_scalar(
+                nb1, idx_ab, jnp.where(conf_ab, key2, BIG), BIG)
             winner = remaining \
-                & (~conflict_a | (mins[idx_a] == hprio)) \
-                & (~conflict_b | (mins[idx_b] == hprio))
+                & (~conflict_a | (gather_scalar(mins, idx_a) == hprio)) \
+                & (~conflict_b | (gather_scalar(mins, idx_b) == hprio))
             # smallest usable color absent from both bodies' masks; all
-            # taken -> park in the last color (Jacobi fallback, counted
-            # by the caller via color==-1 leftovers... none here, so park
-            # directly at max_colors-1; overflow counted below)
-            free = ~(mask[idx_a] | mask[idx_b]) & usable
-            lsb = free & -free
-            c_new = jax.lax.population_count(lsb - 1)
+            # taken -> park inline in the last color (the Jacobi fallback);
+            # parked winners are counted as overflow below
+            free = ~(gather_scalar(mask, idx_a)
+                     | gather_scalar(mask, idx_b)) & usable
+            lsb = free & (jnp.uint32(0) - free)
+            c_new = jax.lax.population_count(
+                lsb - jnp.uint32(1)).astype(jnp.int32)
             c_new = jnp.where(lsb > 0, c_new, max_colors - 1)
             color = jnp.where(winner, c_new, color)
             # a body sees at most one winner per round (the min is unique),
             # so per-round scatter-max yields that winner's single bit;
             # OR it into the accumulated mask (max would drop older bits)
-            bit = jnp.where(winner, jnp.int32(1) << c_new, 0)
-            mask = mask | jnp.maximum(
-                jnp.zeros(nb1, jnp.int32).at[idx_a].max(
-                    jnp.where(conflict_a, bit, 0)),
-                jnp.zeros(nb1, jnp.int32).at[idx_b].max(
-                    jnp.where(conflict_b, bit, 0)))
+            bit = jnp.where(winner,
+                            jnp.uint32(1) << c_new.astype(jnp.uint32),
+                            jnp.uint32(0))
+            bit2 = jnp.concatenate([bit, bit])
+            mask = mask | scatter_max_scalar(
+                nb1, idx_ab, jnp.where(conf_ab, bit2, jnp.uint32(0)),
+                jnp.uint32(0))
             return r + 1, color, remaining & ~winner, mask
 
-        _, color, remaining, _ = jax.lax.while_loop(
+        _, color, _, _ = jax.lax.while_loop(
             jp_cond, jp_round,
-            (jnp.int32(0), color, active, jnp.zeros(nb1, jnp.int32)))
+            (jnp.int32(0), color, active, jnp.zeros(nb1, jnp.uint32)))
         # a winner parked at max_colors-1 because its bodies' usable bits
         # were exhausted shares the Jacobi fallback color; count it
-        remaining = jnp.zeros(k, bool)
         overflow_parked = jnp.sum(active & (color == max_colors - 1))
         if with_rank:
             oh = (color[:, None] ==

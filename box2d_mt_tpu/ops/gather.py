@@ -25,9 +25,22 @@ _EXACT = jax.lax.Precision.HIGHEST
 # bandwidth exceeds the native gather's fixed DMA cost (esp. under vmap).
 ONEHOT_MAX_ELEMENTS = 1 << 18
 
+# dense masked-reduce tier for SCALAR gathers/scatters between the one-hot
+# and native tiers: XLA fuses the iota-compare + select + reduce into one
+# VPU pass with no materialized intermediate, so an (M, N) op costs
+# M*N/~4e12 s of compute — at (4096 lanes x 1024 bodies) that is ~70 us
+# where the native DMA path costs ~25 ns/element (~6.5 ms at 64 worlds).
+# Native only wins once N is huge (one DMA descriptor per element beats
+# scanning a very wide row per element).
+DENSE_MAX_ELEMENTS = 1 << 24
+
 
 def _use_onehot(m, n):
     return m * n <= ONEHOT_MAX_ELEMENTS
+
+
+def _use_dense(m, n):
+    return m * n <= DENSE_MAX_ELEMENTS
 
 
 def gather_rows(table, idx):
@@ -51,19 +64,21 @@ def scatter_add(target, idx, delta):
 def scatter_min_scalar(n, idx, vals, big):
     """(n,) array = min of vals (M,) scattered at idx, init `big`.
     Out-of-range idx rows are ignored."""
-    if not _use_onehot(idx.shape[0], n):
-        return jnp.full(n, big, vals.dtype).at[jnp.clip(idx, 0, n - 1)].min(
-            jnp.where((idx >= 0) & (idx < n), vals, big))
-    oh = idx[:, None] == jnp.arange(n)[None, :]
-    return jnp.min(jnp.where(oh, vals[:, None], big), axis=0)
+    m = idx.shape[0]
+    if _use_onehot(m, n) or _use_dense(m, n):
+        oh = idx[:, None] == jnp.arange(n)[None, :]
+        return jnp.min(jnp.where(oh, vals[:, None], big), axis=0)
+    return jnp.full(n, big, vals.dtype).at[jnp.clip(idx, 0, n - 1)].min(
+        jnp.where((idx >= 0) & (idx < n), vals, big))
 
 
 def scatter_max_scalar(n, idx, vals, small):
-    if not _use_onehot(idx.shape[0], n):
-        return jnp.full(n, small, vals.dtype).at[jnp.clip(idx, 0, n - 1)].max(
-            jnp.where((idx >= 0) & (idx < n), vals, small))
-    oh = idx[:, None] == jnp.arange(n)[None, :]
-    return jnp.max(jnp.where(oh, vals[:, None], small), axis=0)
+    m = idx.shape[0]
+    if _use_onehot(m, n) or _use_dense(m, n):
+        oh = idx[:, None] == jnp.arange(n)[None, :]
+        return jnp.max(jnp.where(oh, vals[:, None], small), axis=0)
+    return jnp.full(n, small, vals.dtype).at[jnp.clip(idx, 0, n - 1)].max(
+        jnp.where((idx >= 0) & (idx < n), vals, small))
 
 
 def gather_cols(table_t, idx):
@@ -89,10 +104,24 @@ def scatter_add_cols(table_t, idx, delta_t):
 
 
 def gather_scalar(arr, idx):
-    """arr (N,), idx (M,) -> (M,)."""
+    """arr (N,), idx (M,) -> (M,). Out-of-range idx yields 0."""
     n = arr.shape[0]
-    if not _use_onehot(idx.shape[0], n):
-        return arr[idx]
-    oh = idx[:, None] == jnp.arange(n)[None, :]
-    acc = jnp.sum(jnp.where(oh, arr[None, :].astype(jnp.float32), 0.0), axis=1)
-    return acc.astype(arr.dtype)
+    m = idx.shape[0]
+    if _use_onehot(m, n):
+        oh = idx[:, None] == jnp.arange(n)[None, :]
+        acc = jnp.sum(jnp.where(oh, arr[None, :].astype(jnp.float32), 0.0),
+                      axis=1)
+        return acc.astype(arr.dtype)
+    if _use_dense(m, n):
+        # sentinel-max reduce: exact for any dtype (exactly one hit per
+        # row), unlike the f32-sum form which would round wide int32
+        oh = idx[:, None] == jnp.arange(n)[None, :]
+        if arr.dtype == jnp.bool_:
+            return jnp.any(oh & arr[None, :], axis=1)
+        lo = (jnp.finfo(arr.dtype).min
+              if jnp.issubdtype(arr.dtype, jnp.floating)
+              else jnp.iinfo(arr.dtype).min)
+        mx = jnp.max(jnp.where(oh, arr[None, :], lo), axis=1)
+        return jnp.where((idx >= 0) & (idx < n), mx,
+                         jnp.zeros((), arr.dtype))
+    return arr[idx]

@@ -546,7 +546,6 @@ def _solve_middle_b(states: State, pre: _PreSolve, dt,
     # which dominates once chunks are many (see ops/pallas_solve.py)
     _min_nb = int(os.environ.get("BOX2D_TPU_PALLAS_SOLVE_MIN_NB", "512"))
     use_pallas_mid = (not have_joints and nb >= _min_nb
-                      and nc % pallas_solve.CK == 0
                       and (_use_pallas_toi()
                            or os.environ.get("BOX2D_TPU_FORCE_PALLAS_SOLVE")))
 
@@ -564,6 +563,10 @@ def _solve_middle_b(states: State, pre: _PreSolve, dt,
     # is nearly free inside the kernel; padding is not).
     ck = pallas_solve.CK if use_pallas_mid else min(nc, nb, 2048)
     p_total = nc + max_colors * ck
+    if use_pallas_mid:
+        # kernel blocks are CK-wide: round the packed table up to a CK
+        # multiple (pad lanes map to the zero dump row -> inactive)
+        p_total = -(-p_total // pallas_solve.CK) * pallas_solve.CK
     lane_ok = cc.active & (color >= 0)
     mc_iota = jnp.arange(max_colors)
     col_oh = lane_ok[:, :, None] & (color[:, :, None] == mc_iota)
@@ -876,7 +879,8 @@ def _use_pallas_toi() -> bool:
 
 def _solve_toi_b(states: State, dt, velocity_iterations: int,
                  toi_rounds: int, kinds, toi_capacity: int,
-                 enabled=None, toi_neighbors: bool = True):
+                 enabled=None, toi_neighbors: bool = True,
+                 pre_solve_fn=None):
     """Continuous physics over batched worlds
     (b2World::SolveTOI, b2World.cpp:1026-1093).
 
@@ -920,15 +924,15 @@ def _solve_toi_b(states: State, dt, velocity_iterations: int,
         pair bodies move in the position pass; neighbor velocity
         constraints transfer impulse into the TOI bodies.
 
-    Known deviations (tracked in PARITY.md): a neighbor endpoint that is
-    itself dynamic (possible only when a bullet is involved) stays frozen
-    in the velocity pass instead of receiving impulses, and kept neighbor
-    advances are not committed to the neighbor's sweep (exact for static/
-    kinematic neighbors — the overwhelmingly common case); neighbor
-    corrections within one NGS iteration are averaged (Jacobi) instead of
-    applied sequentially; the pair table is not refreshed after TOI moves
-    (safe: TOI points lie on the sweep path, so pre-TOI swept fat AABBs
-    are a superset).
+    The velocity pass uses REAL masses on every island body
+    (b2Island.cpp:476-483), so dynamic (bullet-admitted) neighbors receive
+    impulses, and kept dynamic neighbors are committed like the
+    reference's island write-back (tentative sweep advance + remainder
+    integration). Remaining deviations (tracked in PARITY.md): a neighbor
+    that is itself a selected TOI pair body in the same batched round is
+    not re-moved (impossible in the reference's sequential loop); the
+    pair table is not refreshed after TOI moves (safe: TOI points lie on
+    the sweep path, so pre-TOI swept fat AABBs are a superset).
     """
     from .ops.solver import (position_contact_math_s, velocity_contact_math_s)
     dst = distance
@@ -1215,8 +1219,46 @@ def _solve_toi_b(states: State, dt, velocity_iterations: int,
             rows_b, flat(pB1), flat(qB1))
         man = jax.tree.map(unflat, man)
         hit = man.count > 0
-        # no manifold at the TOI: restore (skip all writes) and mark the
-        # pair consumed (b2World.cpp:928-940)
+        if pre_solve_fn is not None:
+            # the reference re-runs Contact::Update -> PreSolve at every
+            # TOI sub-step (b2World.cpp:871-874); a contact the hook
+            # disables at the TOI configuration consumes the event
+            # without a sub-step, exactly like an empty manifold
+            def _bc(m, v):
+                return m.reshape(m.shape + (1,) * (v.ndim - m.ndim))
+
+            def lane_to_slot(cur, lane_val):
+                cur_l = jax.vmap(lambda c_, i: c_[i])(cur, sel)
+                v = jnp.where(_bc(selwin, lane_val), lane_val, cur_l)
+                return jax.vmap(lambda c_, i, vv: c_.at[i].set(vv))(
+                    cur, sel, v)
+
+            man_slot = nph.Manifold(
+                mtype=lane_to_slot(contacts.m_type, man.mtype),
+                local_point=lane_to_slot(contacts.m_local_point,
+                                         man.local_point),
+                local_normal=lane_to_slot(contacts.m_local_normal,
+                                          man.local_normal),
+                points=lane_to_slot(contacts.m_points, man.points),
+                ids=lane_to_slot(contacts.m_ids, man.ids),
+                count=lane_to_slot(contacts.m_count, man.count))
+            view = PreSolveView(
+                f_a=f_a, f_b=f_b, body_a=ba, body_b=bb,
+                touching=lane_to_slot(contacts.touching, hit),
+                manifold=man_slot,
+                old_mtype=contacts.m_type,
+                old_local_normal=contacts.m_local_normal,
+                old_count=contacts.m_count,
+                tangent_speed=contacts.tangent_speed,
+                friction_override=contacts.friction_override,
+                restitution_override=contacts.restitution_override)
+            ho = jax.vmap(pre_solve_fn)(states, view)
+            en_slot = ho.get("enabled", None) if isinstance(ho, dict) \
+                else ho
+            if en_slot is not None:
+                hit &= jax.vmap(lambda e, i: e[i])(en_slot, sel)
+        # no manifold at the TOI (or PreSolve-disabled): restore (skip all
+        # writes) and mark the pair consumed (b2World.cpp:928-940)
         solve = selwin & hit
         lane_tc = lane_tc + selwin.astype(jnp.float32)
 
@@ -1351,9 +1393,21 @@ def _solve_toi_b(states: State, dt, velocity_iterations: int,
             ncnt = vscatter(
                 jnp.zeros((n_worlds, kcap, 1), jnp.float32), nparent,
                 n_keep.astype(jnp.float32)[..., None])[..., 0]
-            # within-iteration Jacobi averaging divisor (the reference
-            # applies neighbor corrections sequentially)
-            n_div = jnp.maximum(vgs(ncnt, nparent), 1.0)
+            # sequential-application rank: the reference's island solver
+            # runs mini-island contacts one at a time, so kept neighbors
+            # of one parent lane apply their corrections sequentially in
+            # slot order — rank r applies after rank r-1 sees its update.
+            # Within a rank every parent has at most one neighbor, so the
+            # scatters stay conflict-free and exact.
+            lane_iota = jnp.broadcast_to(
+                jnp.arange(NK, dtype=jnp.int32)[None, :], (n_worlds, NK))
+            seq_key = jnp.where(n_keep, nparent * NK + lane_iota,
+                                jnp.iinfo(jnp.int32).max)
+            seq_sorted = jnp.sort(seq_key, axis=1)
+            vss = jax.vmap(jnp.searchsorted)
+            n_rank = (vss(seq_sorted, seq_key)
+                      - vss(seq_sorted, nparent * NK)).astype(jnp.int32)
+            n_maxrank = jnp.max(ncnt).astype(jnp.int32)
             nmpx = (nman.points[..., 0, 0], nman.points[..., 1, 0])
             nmpy = (nman.points[..., 0, 1], nman.points[..., 1, 1])
 
@@ -1372,41 +1426,50 @@ def _solve_toi_b(states: State, dt, velocity_iterations: int,
                 mpx, mpy, cax, cay, aa_, cbx, cby, ab_, solve,
                 settings.TOI_BAUMGARTE, settings.MAX_LINEAR_CORRECTION)
             if toi_neighbors:
-                # neighbor constraints against the live TOI-body position;
-                # corrections averaged per parent lane, neighbor endpoint
-                # immobile (zero mass)
+                # neighbor constraints against the live TOI-body position,
+                # applied sequentially by rank (neighbor endpoint immobile
+                # — zero mass in the position pass)
                 lane_pos = jnp.stack([cax, cay, aa_, cbx, cby, ab_],
                                      axis=-1)
-                gl = vgather(lane_pos, nparent)
-                tp = jnp.where(side_a[..., None], gl[..., 0:3],
-                               gl[..., 3:6])
-                pcax = jnp.where(n_toi_a, tp[..., 0], o_ce[..., 0])
-                pcay = jnp.where(n_toi_a, tp[..., 1], o_ce[..., 1])
-                paa = jnp.where(n_toi_a, tp[..., 2], o_ae)
-                pcbx = jnp.where(n_toi_a, o_ce[..., 0], tp[..., 0])
-                pcby = jnp.where(n_toi_a, o_ce[..., 1], tp[..., 1])
-                pab = jnp.where(n_toi_a, o_ae, tp[..., 2])
-                ncax, ncay, naa, ncbx, ncby, nab, _ = \
-                    position_contact_math_s(
-                        nman.mtype, nman.count, n_mA, n_mB, n_iA, n_iB,
-                        sna["radius"], snb["radius"],
-                        n_lcA[..., 0], n_lcA[..., 1],
-                        n_lcB[..., 0], n_lcB[..., 1],
-                        nman.local_point[..., 0], nman.local_point[..., 1],
-                        nman.local_normal[..., 0],
-                        nman.local_normal[..., 1],
-                        nmpx, nmpy, pcax, pcay, paa, pcbx, pcby, pab,
-                        n_keep, settings.TOI_BAUMGARTE,
-                        settings.MAX_LINEAR_CORRECTION)
-                dx = jnp.where(n_toi_a, ncax - pcax, ncbx - pcbx) / n_div
-                dy = jnp.where(n_toi_a, ncay - pcay, ncby - pcby) / n_div
-                da = jnp.where(n_toi_a, naa - paa, nab - pab) / n_div
-                z3 = jnp.zeros_like(dx)
-                d6 = jnp.where(
-                    side_a[..., None],
-                    jnp.stack([dx, dy, da, z3, z3, z3], axis=-1),
-                    jnp.stack([z3, z3, z3, dx, dy, da], axis=-1))
-                lane_pos = vscatter(lane_pos, nparent, d6)
+
+                def seq_pos(carry):
+                    r, lane_pos = carry
+                    act_r = n_keep & (n_rank == r)
+                    gl = vgather(lane_pos, nparent)
+                    tp = jnp.where(side_a[..., None], gl[..., 0:3],
+                                   gl[..., 3:6])
+                    pcax = jnp.where(n_toi_a, tp[..., 0], o_ce[..., 0])
+                    pcay = jnp.where(n_toi_a, tp[..., 1], o_ce[..., 1])
+                    paa = jnp.where(n_toi_a, tp[..., 2], o_ae)
+                    pcbx = jnp.where(n_toi_a, o_ce[..., 0], tp[..., 0])
+                    pcby = jnp.where(n_toi_a, o_ce[..., 1], tp[..., 1])
+                    pab = jnp.where(n_toi_a, o_ae, tp[..., 2])
+                    ncax, ncay, naa, ncbx, ncby, nab, _ = \
+                        position_contact_math_s(
+                            nman.mtype, nman.count, n_mA, n_mB, n_iA, n_iB,
+                            sna["radius"], snb["radius"],
+                            n_lcA[..., 0], n_lcA[..., 1],
+                            n_lcB[..., 0], n_lcB[..., 1],
+                            nman.local_point[..., 0],
+                            nman.local_point[..., 1],
+                            nman.local_normal[..., 0],
+                            nman.local_normal[..., 1],
+                            nmpx, nmpy, pcax, pcay, paa, pcbx, pcby, pab,
+                            act_r, settings.TOI_BAUMGARTE,
+                            settings.MAX_LINEAR_CORRECTION)
+                    dx = jnp.where(n_toi_a, ncax - pcax, ncbx - pcbx)
+                    dy = jnp.where(n_toi_a, ncay - pcay, ncby - pcby)
+                    da = jnp.where(n_toi_a, naa - paa, nab - pab)
+                    z3 = jnp.zeros_like(dx)
+                    d6 = jnp.where(
+                        side_a[..., None],
+                        jnp.stack([dx, dy, da, z3, z3, z3], axis=-1),
+                        jnp.stack([z3, z3, z3, dx, dy, da], axis=-1))
+                    return r + 1, vscatter(lane_pos, nparent, d6)
+
+                _, lane_pos = jax.lax.while_loop(
+                    lambda c: c[0] < n_maxrank, seq_pos,
+                    (jnp.int32(0), lane_pos))
                 cax, cay, aa_ = (lane_pos[..., 0], lane_pos[..., 1],
                                  lane_pos[..., 2])
                 cbx, cby, ab_ = (lane_pos[..., 3], lane_pos[..., 4],
@@ -1557,43 +1620,59 @@ def _solve_toi_b(states: State, dt, velocity_iterations: int,
                     vax, vay, wa_, vbx, vby, wb_, solve)
             if not toi_neighbors:
                 return ni0, ni1, ti0, ti1, vax, vay, wa_, vbx, vby, wb_
-            # neighbor impulses against the live TOI-body velocity (TOI
-            # side averaged per parent lane); the other endpoint carries
+            # neighbor impulses against the live TOI-body velocity,
+            # applied sequentially by rank; the other endpoint carries
             # its own live velocity copy and receives impulses too
             lane_vel = jnp.stack([vax, vay, wa_, vbx, vby, wb_], axis=-1)
-            gv = vgather(lane_vel, nparent)
-            tv = jnp.where(side_a[..., None], gv[..., 0:3], gv[..., 3:6])
-            nvax = jnp.where(n_toi_a, tv[..., 0], ovx)
-            nvay = jnp.where(n_toi_a, tv[..., 1], ovy)
-            nwa = jnp.where(n_toi_a, tv[..., 2], ow)
-            nvbx = jnp.where(n_toi_a, ovx, tv[..., 0])
-            nvby = jnp.where(n_toi_a, ovy, tv[..., 1])
-            nwb = jnp.where(n_toi_a, ow, tv[..., 2])
-            (nn0, nn1), (nt0, nt1), nvax2, nvay2, nwa2, nvbx2, nvby2, \
-                nwb2 = velocity_contact_math_s(
-                    nfric, n_ts, nv_mA, nv_mB, nv_iA, nv_iB, nnx, nny,
-                    (n_r_a[..., 0, 0], n_r_a[..., 1, 0]),
-                    (n_r_a[..., 0, 1], n_r_a[..., 1, 1]),
-                    (n_r_b[..., 0, 0], n_r_b[..., 1, 0]),
-                    (n_r_b[..., 0, 1], n_r_b[..., 1, 1]),
-                    (nnm[..., 0], nnm[..., 1]), (ntm[..., 0], ntm[..., 1]),
-                    (nbias[..., 0], nbias[..., 1]),
-                    nk11, nk12, nk22, ninv_det * nk22, -ninv_det * nk12,
-                    ninv_det * nk11, npc2,
-                    (nn0, nn1), (nt0, nt1),
-                    nvax, nvay, nwa, nvbx, nvby, nwb, n_keep)
-            dvx_ = jnp.where(n_toi_a, nvax2 - nvax, nvbx2 - nvbx) / n_div
-            dvy_ = jnp.where(n_toi_a, nvay2 - nvay, nvby2 - nvby) / n_div
-            dw_ = jnp.where(n_toi_a, nwa2 - nwa, nwb2 - nwb) / n_div
-            z3 = jnp.zeros_like(dvx_)
-            d6 = jnp.where(
-                side_a[..., None],
-                jnp.stack([dvx_, dvy_, dw_, z3, z3, z3], axis=-1),
-                jnp.stack([z3, z3, z3, dvx_, dvy_, dw_], axis=-1))
-            lane_vel = vscatter(lane_vel, nparent, d6)
-            ovx = jnp.where(n_toi_a, nvbx2, nvax2)
-            ovy = jnp.where(n_toi_a, nvby2, nvay2)
-            ow = jnp.where(n_toi_a, nwb2, nwa2)
+
+            def seq_vel(carry):
+                r, lane_vel, nn0, nn1, nt0, nt1, ovx, ovy, ow = carry
+                act_r = n_keep & (n_rank == r)
+                gv = vgather(lane_vel, nparent)
+                tv = jnp.where(side_a[..., None], gv[..., 0:3],
+                               gv[..., 3:6])
+                nvax = jnp.where(n_toi_a, tv[..., 0], ovx)
+                nvay = jnp.where(n_toi_a, tv[..., 1], ovy)
+                nwa = jnp.where(n_toi_a, tv[..., 2], ow)
+                nvbx = jnp.where(n_toi_a, ovx, tv[..., 0])
+                nvby = jnp.where(n_toi_a, ovy, tv[..., 1])
+                nwb = jnp.where(n_toi_a, ow, tv[..., 2])
+                (nn0, nn1), (nt0, nt1), nvax2, nvay2, nwa2, nvbx2, \
+                    nvby2, nwb2 = velocity_contact_math_s(
+                        nfric, n_ts, nv_mA, nv_mB, nv_iA, nv_iB, nnx, nny,
+                        (n_r_a[..., 0, 0], n_r_a[..., 1, 0]),
+                        (n_r_a[..., 0, 1], n_r_a[..., 1, 1]),
+                        (n_r_b[..., 0, 0], n_r_b[..., 1, 0]),
+                        (n_r_b[..., 0, 1], n_r_b[..., 1, 1]),
+                        (nnm[..., 0], nnm[..., 1]),
+                        (ntm[..., 0], ntm[..., 1]),
+                        (nbias[..., 0], nbias[..., 1]),
+                        nk11, nk12, nk22, ninv_det * nk22,
+                        -ninv_det * nk12, ninv_det * nk11, npc2,
+                        (nn0, nn1), (nt0, nt1),
+                        nvax, nvay, nwa, nvbx, nvby, nwb, act_r)
+                dvx_ = jnp.where(n_toi_a, nvax2 - nvax, nvbx2 - nvbx)
+                dvy_ = jnp.where(n_toi_a, nvay2 - nvay, nvby2 - nvby)
+                dw_ = jnp.where(n_toi_a, nwa2 - nwa, nwb2 - nwb)
+                z3 = jnp.zeros_like(dvx_)
+                d6 = jnp.where(
+                    side_a[..., None],
+                    jnp.stack([dvx_, dvy_, dw_, z3, z3, z3], axis=-1),
+                    jnp.stack([z3, z3, z3, dvx_, dvy_, dw_], axis=-1))
+                lane_vel = vscatter(lane_vel, nparent, d6)
+                ovx = jnp.where(act_r & n_toi_a, nvbx2, ovx)
+                ovx = jnp.where(act_r & ~n_toi_a, nvax2, ovx)
+                ovy = jnp.where(act_r & n_toi_a, nvby2, ovy)
+                ovy = jnp.where(act_r & ~n_toi_a, nvay2, ovy)
+                ow = jnp.where(act_r & n_toi_a, nwb2, ow)
+                ow = jnp.where(act_r & ~n_toi_a, nwa2, ow)
+                return r + 1, lane_vel, nn0, nn1, nt0, nt1, ovx, ovy, ow
+
+            (_, lane_vel, nn0, nn1, nt0, nt1, ovx, ovy, ow) = \
+                jax.lax.while_loop(
+                    lambda c: c[0] < n_maxrank, seq_vel,
+                    (jnp.int32(0), lane_vel, nn0, nn1, nt0, nt1,
+                     ovx, ovy, ow))
             return (ni0, ni1, ti0, ti1,
                     lane_vel[..., 0], lane_vel[..., 1], lane_vel[..., 2],
                     lane_vel[..., 3], lane_vel[..., 4], lane_vel[..., 5],
@@ -1780,6 +1859,11 @@ def step_batched(states: State, dt, velocity_iterations: int = 8,
     built-in category/mask/group filters. Pass the same fn to
     WorldBuilder.freeze(filter_fn=...) so the construction-time pair pass
     agrees."""
+    if not 1 <= max_colors <= 32:
+        raise ValueError(
+            f"max_colors must be in [1, 32] (got {max_colors}): the "
+            "large-world coloring tier tracks per-body colors as 32-bit "
+            "masks (ops/coloring.py)")
     dt = jnp.asarray(dt, jnp.float32)
     if toi_capacity is None:
         toi_capacity = max(32, states.contacts.capacity // 8)
@@ -1990,7 +2074,8 @@ def _step_active(states, dt, velocity_iterations, position_iterations,
             enabled_toi = None
         new_state, toi_overflow, toi_begin = _solve_toi_b(
             new_state, dt, velocity_iterations, toi_rounds, kinds,
-            toi_capacity, enabled=enabled_toi, toi_neighbors=toi_neighbors)
+            toi_capacity, enabled=enabled_toi, toi_neighbors=toi_neighbors,
+            pre_solve_fn=pre_solve_fn)
         # TOI-created touches fire BeginContact this step, but toi_begin
         # indexes the *refreshed* pair table while begin_touch/f_a/f_b
         # index the pre-refresh table — export it on its own slot basis

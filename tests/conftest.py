@@ -27,6 +27,30 @@ import pytest  # noqa: E402
 GOLDEN = pathlib.Path(__file__).parent / "golden"
 
 
+# fast per-commit tier: `pytest -m smoke` (~2 min on this 1-core VM) —
+# helloworld bit-compat, one golden joint scene, the Pallas solve middle in
+# interpret mode at a tiny shape, and sharded bit-equality. The full suite
+# stays the default (`pytest tests/`).
+_SMOKE = {
+    "test_helloworld_freefall_exact",
+    "test_helloworld_terminal",
+    "test_revolute_pendulum",
+    "test_sharded_step_bit_equals_unsharded",
+    "test_pallas_middle_matches_xla[pyramid]",
+}
+
+# long golden rollouts (240+ steps); deselect with -m "not slow"
+_SLOW_PREFIX = ("test_golden_zoo.py", "test_golden_interactive.py")
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.name in _SMOKE:
+            item.add_marker(pytest.mark.smoke)
+        if any(p in str(item.fspath) for p in _SLOW_PREFIX):
+            item.add_marker(pytest.mark.slow)
+
+
 _last_module = [None]
 
 
