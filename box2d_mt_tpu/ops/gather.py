@@ -44,7 +44,13 @@ def _use_dense(m, n):
 
 
 def gather_rows(table, idx):
-    """table (N, K) f32, idx (M,) i32 -> (M, K)."""
+    """table (N, K) f32, idx (M,) i32 -> (M, K).
+
+    No dense masked-reduce tier here, deliberately: row gathers with a
+    trailing K axis measured FASTER native than as an (M, N, K) fused
+    reduce inside real step programs (the wide intermediate breaks XLA's
+    surrounding fusions — whole-step regression 645->486 w*s/s when it
+    was tried); only the SCALAR helpers benefit from the dense tier."""
     n = table.shape[0]
     if not _use_onehot(idx.shape[0], n):
         return table[idx]

@@ -11,12 +11,19 @@ position iterations — runs inside one kernel with body state resident in
 VMEM, so a chunk pass costs ~1 us instead of ~0.3 ms.
 
 Layouts (per world, grid = worlds):
-  cblob (51, P) f32   color-major packed constraints (pack_cc_blob rows
+  blob_t (51, C) f32  SLOT-order constraint rows (pack_cc_blob
                       transposed; impulse rows 47-50 are the warm-start
-                      values), chunk-aligned to CK lanes per color chunk.
+                      values).
+  dest  (1, C) f32    packed color-major position per slot; the kernel
+                      gathers slot rows into a VMEM color-packed scratch
+                      (chunk-aligned, CK lanes per chunk) and scatters
+                      results back to slot order itself, both via exact
+                      one-hot MXU contractions — no host-side perm
+                      build / take_along_axis (those native DMA ops cost
+                      ~31 ms at 64x991-body worlds).
   vel   (8, nb) f32   rows [vx, vy, w] (+5 pad rows for f32 tiling)
   pos   (8, nb) f32   rows [cx, cy, a, movable] (movable = solve_mask)
-  aux out (8, P) f32  rows [ni0, ni1, ti0, ti1, min_sep]
+  aux out (8, C) f32  rows [ni0, ni1, ti0, ti1, min_sep], slot order
 
 Gather/scatter of body state use one-hot matmuls on the MXU. Exactness:
 the f32 state is Dekker-split into three bf16 terms (8+8+8 = 24 mantissa
@@ -80,21 +87,44 @@ def _rows3(nrows, ncols, r0, r1, r2):
     return jnp.where(ri == 2, jnp.broadcast_to(r2, (nrows, ncols)), out)
 
 
-def _kernel(nchunks_ref, dt_ref, cblob_ref, vel_ref, pos_ref,
-            velo_ref, poso_ref, aux_ref, *, nb, p_total, vi, pi):
+def _kernel(nchunks_ref, dt_ref, blob_ref, dest_ref, vel_ref, pos_ref,
+            velo_ref, poso_ref, auxs_ref, pblob_ref, aux_ref,
+            *, nb, nc, p_total, vi, pi):
     n_chunks = nchunks_ref[0, 0]
     dt = dt_ref[0, 0]
+    drow = dest_ref[0]                                    # (1, nc) f32
+
+    def chunk_onehot(ci):
+        """(CK, nc) bf16 one-hot: row l hits the slot packed at ci*CK+l.
+        Each slot lands in at most one packed position, so every row and
+        column has <= 1 hit — gathers and scatter-backs through it are
+        exact under the 3x-bf16 Dekker contraction."""
+        li = (jax.lax.broadcasted_iota(jnp.int32, (CK, nc), 0)
+              + ci * CK).astype(jnp.float32)
+        return (jnp.broadcast_to(drow, (CK, nc)) == li).astype(jnp.bfloat16)
+
+    # ---- pack: gather slot-order constraint rows into the color-major
+    # packed scratch via the MXU (replaces the host-side perm build +
+    # take_along_axis gather, which cost ~25 ms at 64x991-body worlds)
+    def gchunk(ci, _):
+        oh_t = chunk_onehot(ci)
+        g = _dot3(blob_ref[0], oh_t, ((1,), (1,)))        # (51, CK)
+        pblob_ref[:, pl.ds(ci * CK, CK)] = g
+        return 0
+
+    pblob_ref[:, :] = jnp.zeros((51, p_total), jnp.float32)
+    jax.lax.fori_loop(0, n_chunks, gchunk, 0)
 
     velo_ref[:] = vel_ref[:]
     # warm-start impulses into the aux working rows
-    aux_ref[0, 0:4, :] = cblob_ref[0, 47:51, :]
-    aux_ref[0, 4:8, :] = jnp.zeros((4, p_total), jnp.float32)
+    aux_ref[0:4, :] = pblob_ref[47:51, :]
+    aux_ref[4:8, :] = jnp.zeros((4, p_total), jnp.float32)
 
     r1 = lambda b, k: b[k:k + 1, :]                       # (1, CK) row
 
     def load_chunk(ci):
         off = ci * CK
-        blob = cblob_ref[0, :, pl.ds(off, CK)]            # (51, CK)
+        blob = pblob_ref[:, pl.ds(off, CK)]               # (51, CK)
         act = blob[0:1] > 0.5
         ia = blob[1:2].astype(jnp.int32)
         ib = blob[2:3].astype(jnp.int32)
@@ -110,10 +140,10 @@ def _kernel(nchunks_ref, dt_ref, cblob_ref, vel_ref, pos_ref,
         gb = _dot3(velo_ref[0], oh_b, ((1,), (0,)))
         vax0, vay0, wa0 = ga[0:1], ga[1:2], ga[2:3]
         vbx0, vby0, wb0 = gb[0:1], gb[1:2], gb[2:3]
-        ni0 = aux_ref[0, 0:1, pl.ds(off, CK)]
-        ni1 = aux_ref[0, 1:2, pl.ds(off, CK)]
-        ti0 = aux_ref[0, 2:3, pl.ds(off, CK)]
-        ti1 = aux_ref[0, 3:4, pl.ds(off, CK)]
+        ni0 = aux_ref[0:1, pl.ds(off, CK)]
+        ni1 = aux_ref[1:2, pl.ds(off, CK)]
+        ti0 = aux_ref[2:3, pl.ds(off, CK)]
+        ti1 = aux_ref[3:4, pl.ds(off, CK)]
 
         nis, tis, vax, vay, wa, vbx, vby, wb = \
             csolver.velocity_contact_math_s(
@@ -129,10 +159,10 @@ def _kernel(nchunks_ref, dt_ref, cblob_ref, vel_ref, pos_ref,
                 (ni0, ni1), (ti0, ti1),
                 vax0, vay0, wa0, vbx0, vby0, wb0, act)
 
-        aux_ref[0, 0:1, pl.ds(off, CK)] = nis[0]
-        aux_ref[0, 1:2, pl.ds(off, CK)] = nis[1]
-        aux_ref[0, 2:3, pl.ds(off, CK)] = tis[0]
-        aux_ref[0, 3:4, pl.ds(off, CK)] = tis[1]
+        aux_ref[0:1, pl.ds(off, CK)] = nis[0]
+        aux_ref[1:2, pl.ds(off, CK)] = nis[1]
+        aux_ref[2:3, pl.ds(off, CK)] = tis[0]
+        aux_ref[3:4, pl.ds(off, CK)] = tis[1]
 
         zero = jnp.float32(0.0)
         da = _rows3(8, CK, jnp.where(act, vax - vax0, zero),
@@ -199,7 +229,7 @@ def _kernel(nchunks_ref, dt_ref, cblob_ref, vel_ref, pos_ref,
                 cax0, cay0, aa0, cbx0, cby0, ab0, act,
                 settings.BAUMGARTE, settings.MAX_LINEAR_CORRECTION)
 
-        aux_ref[0, 4:5, pl.ds(off, CK)] = min_sep
+        aux_ref[4:5, pl.ds(off, CK)] = min_sep
 
         zero = jnp.float32(0.0)
         da = _rows3(8, CK, jnp.where(act, cax - cax0, zero),
@@ -218,20 +248,38 @@ def _kernel(nchunks_ref, dt_ref, cblob_ref, vel_ref, pos_ref,
 
     jax.lax.fori_loop(0, pi, pos_iter, 0)
 
+    # ---- un-pack: impulses + min separation back to SLOT order on the
+    # MXU (replaces the host-side take_along_axis unpack); slots in no
+    # chunk (inactive) come out 0 and the caller keeps their old values
+    auxs_ref[0] = jnp.zeros((8, nc), jnp.float32)
 
-def solve_middle_pallas(pblob_t, vel, pos, n_chunks, dt,
+    def schunk(ci, _):
+        oh_t = chunk_onehot(ci)
+        vals = aux_ref[:, pl.ds(ci * CK, CK)]             # (8, CK)
+        auxs_ref[0] = auxs_ref[0] + _dot3(vals, oh_t, ((1,), (0,)))
+        return 0
+
+    jax.lax.fori_loop(0, n_chunks, schunk, 0)
+
+
+def solve_middle_pallas(blob_t, dest, vel, pos, n_chunks, p_total, dt,
                         velocity_iterations: int, position_iterations: int,
                         interpret: bool = False):
-    """Run the fused solve middle.
+    """Run the fused solve middle on slot-order inputs.
 
-    pblob_t (W, 51, P) f32, vel/pos (W, 8, nb) f32,
-    n_chunks () i32 (global max), dt () f32.
-    Returns (vel_out (W,8,nb), pos_out (W,8,nb), aux (W,8,P)).
+    blob_t (W, 51, C) f32 slot-order constraint rows (pack_cc_blob
+    transposed; impulse rows 47-50 are the warm-start values).
+    dest (W, C) packed color-major position per slot (p_total when the
+    lane is inactive) — the kernel builds its own pack/unpack one-hots
+    from it, so no host-side permutation materializes.
+    vel/pos (W, 8, nb) f32, n_chunks () i32 (global max), dt () f32.
+    Returns (vel_out (W,8,nb), pos_out (W,8,nb), aux_slot (W,8,C) with
+    rows [ni0, ni1, ti0, ti1, min_sep] in slot order).
     """
-    w, _, p_total = pblob_t.shape
+    w, _, nc = blob_t.shape
     nb = vel.shape[-1]
     assert p_total % CK == 0
-    kern = functools.partial(_kernel, nb=nb, p_total=p_total,
+    kern = functools.partial(_kernel, nb=nb, nc=nc, p_total=p_total,
                              vi=velocity_iterations,
                              pi=position_iterations)
     smem = lambda: pl.BlockSpec((1, 1), lambda i: (0, 0),
@@ -241,22 +289,27 @@ def solve_middle_pallas(pblob_t, vel, pos, n_chunks, dt,
         grid=(w,),
         in_specs=[
             smem(), smem(),
-            pl.BlockSpec((1, 51, p_total), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 51, nc), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 1, nc), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, 8, nb), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, 8, nb), lambda i: (i, 0, 0)),
         ],
         out_specs=[
             pl.BlockSpec((1, 8, nb), lambda i: (i, 0, 0)),
             pl.BlockSpec((1, 8, nb), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, 8, p_total), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, 8, nc), lambda i: (i, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((w, 8, nb), jnp.float32),
             jax.ShapeDtypeStruct((w, 8, nb), jnp.float32),
-            jax.ShapeDtypeStruct((w, 8, p_total), jnp.float32),
+            jax.ShapeDtypeStruct((w, 8, nc), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((51, p_total), jnp.float32),
+            pltpu.VMEM((8, p_total), jnp.float32),
         ],
         interpret=interpret,
     )(jnp.reshape(n_chunks.astype(jnp.int32), (1, 1)),
       jnp.reshape(dt.astype(jnp.float32), (1, 1)),
-      pblob_t, vel, pos)
+      blob_t, dest.astype(jnp.float32)[:, None, :], vel, pos)
     return out
