@@ -285,9 +285,18 @@ def main():
                 ladder = [128, 64, 16]
             base_big = scenes.pyramid(big_rows)
             nb_big = int(np.sum(np.asarray(base_big.bodies.body_type) >= 0))
+            # workload-sized capacities, both verified BITWISE-identical to
+            # the defaults over the full window (the knobs only trim masked
+            # dead lanes / dead color slots, they change no trajectory):
+            #   toi_capacity=128 — the b2_maxTOIContacts analog; the
+            #     pyramid's TOI candidates are its ground contacts
+            #     (measured max 43/world; 128 = 3x headroom)
+            #   max_colors=12 — the constraint graph needs 6 colors
+            #     (12 = 2x headroom); fewer color slots shrink the packed
+            #     solve table and the dest bookkeeping
             roll_big = make_rollout(big_steps, velocity_iterations=8,
                                     position_iterations=3,
-                                    max_colors=max_colors)
+                                    max_colors=12, toi_capacity=128)
             for big_worlds in ladder:
                 try:
                     big = replicate_state(base_big, big_worlds)

@@ -189,21 +189,25 @@ def find_pairs_allpairs(state: State, capacity: int, filter_fn=None):
     # densely, up to HUB_CAP of them; rows dropped past HUB_CAP are
     # reported in `overflow` (the growable-container analog — never
     # silent).
-    # narrower K_ROW cuts the per-row top_k cost ~4x at big F (top_k over
-    # the (F, F) mask dominated the 1k-fixture pair pass); small fixtures
-    # overlap ~8-12 others at most, and denser rows spill to the hub path
+    # small fixtures overlap ~8-12 others at most; denser rows spill to
+    # the hub path. Per-row extraction runs as K_ROW unrolled masked-min
+    # passes, NOT jax.lax.top_k — top_k cost 22 ms vs ~6 ms for the min
+    # passes over the (F, F) mask at 64x1k-fixture worlds.
     K_ROW = 16 if nf >= 512 else min(64, nf)
-    HUB_CAP = min(16, nf)
-    imin = jnp.iinfo(jnp.int32).min
+    HUB_CAP = 8 if nf >= 512 else min(16, nf)
     big = jnp.uint32(nf * nf)
     n_found = jnp.sum(pair_ok)
     row_cnt = jnp.sum(pair_ok, axis=1)
     hub = row_cnt > K_ROW
     m_r = pair_ok & ~hub[:, None]
-    negj = jnp.where(m_r, -ii[None, :], imin)
-    topv, _ = jax.lax.top_k(negj, K_ROW)               # (F, K_ROW)
-    jv = -topv
-    keys_r = jnp.where(topv != imin,
+    jj = jnp.broadcast_to(ii[None, :], (nf, nf))
+    jvs = []
+    for _ in range(K_ROW):
+        jmin = jnp.min(jnp.where(m_r, jj, nf), axis=1)   # (F,)
+        jvs.append(jmin)
+        m_r = m_r & (jj != jmin[:, None])
+    jv = jnp.stack(jvs, axis=1)                          # (F, K_ROW) asc
+    keys_r = jnp.where(jv < nf,
                        (ii[:, None] * nf + jv).astype(jnp.uint32), big)
     horder = jnp.argsort(jnp.where(hub, 0, 1).astype(jnp.int32),
                          stable=True)

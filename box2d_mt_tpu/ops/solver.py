@@ -151,38 +151,125 @@ def init_contact_constraints(contacts, fx, bodies, c_pos, a_pos, v, w,
     va, vb = bg[:n_c, 7:9], bg[n_c:, 7:9]
     wa, wb = bg[:n_c, 9], bg[n_c:, 9]
 
-    pa, qa = jax.vmap(_gather_xf)(ca_pos, aa_pos, lc_a)
-    pb, qb = jax.vmap(_gather_xf)(cb_pos, ab_pos, lc_b)
+    # ---- everything below is LANE-MAJOR: all arrays are (C,) components
+    # riding the 128-wide vector axis. The previous vmapped/row-major form
+    # carried (C, 2, 2) arrays whose 2-wide minor axis wasted ~98% of the
+    # VPU (measured ~10 ms of the 21 ms constraint init at 64x991-body
+    # worlds). Formulas mirror world_manifold / the reference
+    # (b2WorldManifold::Initialize + b2ContactSolver ctor) term for term.
+    cax, cay = ca_pos[:, 0], ca_pos[:, 1]
+    cbx, cby = cb_pos[:, 0], cb_pos[:, 1]
+    lcax, lcay = lc_a[:, 0], lc_a[:, 1]
+    lcbx, lcby = lc_b[:, 0], lc_b[:, 1]
+    qas, qac = jnp.sin(aa_pos), jnp.cos(aa_pos)
+    qbs, qbc = jnp.sin(ab_pos), jnp.cos(ab_pos)
+    pax = cax - (qac * lcax - qas * lcay)
+    pay = cay - (qas * lcax + qac * lcay)
+    pbx = cbx - (qbc * lcbx - qbs * lcby)
+    pby = cby - (qbs * lcbx + qbc * lcby)
 
-    normal, pts, _ = jax.vmap(world_manifold)(
-        contacts.m_type, contacts.m_local_point, contacts.m_local_normal,
-        contacts.m_points, contacts.m_count, pa, qa, ra_shape, pb, qb, rb_shape)
+    lpx = contacts.m_local_point[:, 0]
+    lpy = contacts.m_local_point[:, 1]
+    lnx = contacts.m_local_normal[:, 0]
+    lny = contacts.m_local_normal[:, 1]
+    pjx = (contacts.m_points[:, 0, 0], contacts.m_points[:, 1, 0])
+    pjy = (contacts.m_points[:, 0, 1], contacts.m_points[:, 1, 1])
 
-    r_a = pts - ca_pos[:, None, :]
-    r_b = pts - cb_pos[:, None, :]
+    # circles (b2Manifold::e_circles)
+    pAx = pax + (qac * lpx - qas * lpy)
+    pAy = pay + (qas * lpx + qac * lpy)
+    pBx = pbx + (qbc * pjx[0] - qbs * pjy[0])
+    pBy = pby + (qbs * pjx[0] + qbc * pjy[0])
+    dx_, dy_ = pBx - pAx, pBy - pAy
+    dd = dx_ * dx_ + dy_ * dy_
+    far = dd > EPS * EPS
+    ln_ = jnp.sqrt(dd)
+    neps = 1.1754943508222875e-38
+    safe = jnp.where(ln_ < neps, 1.0, ln_)
+    ux = jnp.where(ln_ < neps, 0.0, dx_ / safe)
+    uy = jnp.where(ln_ < neps, 0.0, dy_ / safe)
+    ncx = jnp.where(far, ux, 1.0)
+    ncy = jnp.where(far, uy, 0.0)
+    caCx, caCy = pAx + ra_shape * ncx, pAy + ra_shape * ncy
+    cbCx, cbCy = pBx - rb_shape * ncx, pBy - rb_shape * ncy
+    ptsC = ((0.5 * (caCx + cbCx), 0.5 * (caCy + cbCy)),
+            (jnp.zeros_like(pAx), jnp.zeros_like(pAx)))
 
-    rn_a = cross_vv(r_a, normal[:, None, :])      # (C,2)
-    rn_b = cross_vv(r_b, normal[:, None, :])
-    k_normal = (m_a + m_b)[:, None] + i_a[:, None] * rn_a ** 2 + i_b[:, None] * rn_b ** 2
-    normal_mass = jnp.where(k_normal > 0.0, 1.0 / k_normal, 0.0)
+    # faceA
+    nax = qac * lnx - qas * lny
+    nay = qas * lnx + qac * lny
+    planex = pax + (qac * lpx - qas * lpy)
+    planey = pay + (qas * lpx + qac * lpy)
+    ptsA = []
+    for j in range(2):
+        clx = pbx + (qbc * pjx[j] - qbs * pjy[j])
+        cly = pby + (qbs * pjx[j] + qbc * pjy[j])
+        da_ = (clx - planex) * nax + (cly - planey) * nay
+        caAx = clx + (ra_shape - da_) * nax
+        caAy = cly + (ra_shape - da_) * nay
+        cbAx = clx - rb_shape * nax
+        cbAy = cly - rb_shape * nay
+        ptsA.append((0.5 * (caAx + cbAx), 0.5 * (caAy + cbAy)))
 
-    tangent = jnp.stack([normal[:, 1], -normal[:, 0]], axis=-1)
-    rt_a = cross_vv(r_a, tangent[:, None, :])
-    rt_b = cross_vv(r_b, tangent[:, None, :])
-    k_tangent = (m_a + m_b)[:, None] + i_a[:, None] * rt_a ** 2 + i_b[:, None] * rt_b ** 2
-    tangent_mass = jnp.where(k_tangent > 0.0, 1.0 / k_tangent, 0.0)
+    # faceB (world normal flips at selection)
+    nbx = qbc * lnx - qbs * lny
+    nby = qbs * lnx + qbc * lny
+    planbx = pbx + (qbc * lpx - qbs * lpy)
+    planby = pby + (qbs * lpx + qbc * lpy)
+    ptsB = []
+    for j in range(2):
+        clx = pax + (qac * pjx[j] - qas * pjy[j])
+        cly = pay + (qas * pjx[j] + qac * pjy[j])
+        db_ = (clx - planbx) * nbx + (cly - planby) * nby
+        cbBx = clx + (rb_shape - db_) * nbx
+        cbBy = cly + (rb_shape - db_) * nby
+        caBx = clx - ra_shape * nbx
+        caBy = cly - ra_shape * nby
+        ptsB.append((0.5 * (caBx + cbBx), 0.5 * (caBy + cbBy)))
 
-    dv = (vb[:, None, :] + cross_sv(wb[:, None], r_b)
-          - va[:, None, :] - cross_sv(wa[:, None], r_a))
-    v_rel = dot(dv, normal[:, None, :])
-    velocity_bias = jnp.where(v_rel < -settings.VELOCITY_THRESHOLD,
-                              -restitution[:, None] * v_rel, 0.0)
+    is_a = contacts.m_type == settings.MANIFOLD_FACE_A
+    is_b = contacts.m_type == settings.MANIFOLD_FACE_B
+    nx = jnp.where(is_a, nax, jnp.where(is_b, -nbx, ncx))
+    ny = jnp.where(is_a, nay, jnp.where(is_b, -nby, ncy))
+    ptx = [jnp.where(is_a, ptsA[j][0], jnp.where(is_b, ptsB[j][0],
+                                                 ptsC[j][0]))
+           for j in range(2)]
+    pty = [jnp.where(is_a, ptsA[j][1], jnp.where(is_b, ptsB[j][1],
+                                                 ptsC[j][1]))
+           for j in range(2)]
+
+    rax = [ptx[j] - cax for j in range(2)]
+    ray = [pty[j] - cay for j in range(2)]
+    rbx = [ptx[j] - cbx for j in range(2)]
+    rby = [pty[j] - cby for j in range(2)]
+
+    msum = m_a + m_b
+    rn_a = [rax[j] * ny - ray[j] * nx for j in range(2)]
+    rn_b = [rbx[j] * ny - rby[j] * nx for j in range(2)]
+    k_n = [msum + i_a * rn_a[j] ** 2 + i_b * rn_b[j] ** 2 for j in range(2)]
+    nmass = [jnp.where(k > 0.0, 1.0 / k, 0.0) for k in k_n]
+
+    tx, ty = ny, -nx
+    rt_a = [rax[j] * ty - ray[j] * tx for j in range(2)]
+    rt_b = [rbx[j] * ty - rby[j] * tx for j in range(2)]
+    k_t = [msum + i_a * rt_a[j] ** 2 + i_b * rt_b[j] ** 2 for j in range(2)]
+    tmass = [jnp.where(k > 0.0, 1.0 / k, 0.0) for k in k_t]
+
+    vax_, vay_ = va[:, 0], va[:, 1]
+    vbx_, vby_ = vb[:, 0], vb[:, 1]
+    vbias = []
+    for j in range(2):
+        dvx = vbx_ - wb * rby[j] - vax_ + wa * ray[j]
+        dvy = vby_ + wb * rbx[j] - vay_ - wa * rax[j]
+        v_rel = dvx * nx + dvy * ny
+        vbias.append(jnp.where(v_rel < -settings.VELOCITY_THRESHOLD,
+                               -restitution * v_rel, 0.0))
 
     # 2-point block solver setup with condition-number guard
     point_count = contacts.m_count
-    k11 = k_normal[:, 0]
-    k22 = k_normal[:, 1]
-    k12 = m_a + m_b + i_a * rn_a[:, 0] * rn_a[:, 1] + i_b * rn_b[:, 0] * rn_b[:, 1]
+    k11 = k_n[0]
+    k22 = k_n[1]
+    k12 = msum + i_a * rn_a[0] * rn_a[1] + i_b * rn_b[0] * rn_b[1]
     det = k11 * k22 - k12 * k12
     well_conditioned = k11 * k11 < 1000.0 * det
     two = point_count == 2
@@ -191,6 +278,15 @@ def init_contact_constraints(contacts, fx, bodies, c_pos, a_pos, v, w,
     nm11 = inv_det * k22
     nm12 = -inv_det * k12
     nm22 = inv_det * k11
+
+    normal = jnp.stack([nx, ny], axis=-1)
+    r_a = jnp.stack([jnp.stack([rax[0], ray[0]], axis=-1),
+                     jnp.stack([rax[1], ray[1]], axis=-1)], axis=1)
+    r_b = jnp.stack([jnp.stack([rbx[0], rby[0]], axis=-1),
+                     jnp.stack([rbx[1], rby[1]], axis=-1)], axis=1)
+    normal_mass = jnp.stack(nmass, axis=-1)
+    tangent_mass = jnp.stack(tmass, axis=-1)
+    velocity_bias = jnp.stack(vbias, axis=-1)
 
     return ContactConstraints(
         active=active,
@@ -361,6 +457,36 @@ def pack_cc_blob(cc: ContactConstraints, ni, ti):
 
 
 CC_BLOB_K = 51
+
+
+def pack_cc_blob_t(cc: ContactConstraints, ni, ti):
+    """pack_cc_blob emitted PLANE-MAJOR (K, C): row k holds field k across
+    all contact lanes. Same row order as pack_cc_blob's columns (the
+    Pallas kernel indexes rows by these numbers). Building rows directly
+    avoids the (C, K) minor-axis-padded build + swapaxes copy."""
+    f = lambda x: x.astype(jnp.float32)
+    rows = [f(cc.active), f(cc.body_a), f(cc.body_b), f(cc.point_count),
+            cc.friction, cc.tangent_speed,
+            cc.inv_mass_a, cc.inv_mass_b, cc.inv_i_a, cc.inv_i_b,
+            cc.normal[:, 0], cc.normal[:, 1],
+            cc.r_a[:, 0, 0], cc.r_a[:, 0, 1],
+            cc.r_a[:, 1, 0], cc.r_a[:, 1, 1],
+            cc.r_b[:, 0, 0], cc.r_b[:, 0, 1],
+            cc.r_b[:, 1, 0], cc.r_b[:, 1, 1],
+            cc.normal_mass[:, 0], cc.normal_mass[:, 1],
+            cc.tangent_mass[:, 0], cc.tangent_mass[:, 1],
+            cc.velocity_bias[:, 0], cc.velocity_bias[:, 1],
+            cc.k11, cc.k12, cc.k22, cc.nm11, cc.nm12, cc.nm22,
+            cc.local_points[:, 0, 0], cc.local_points[:, 0, 1],
+            cc.local_points[:, 1, 0], cc.local_points[:, 1, 1],
+            cc.local_normal[:, 0], cc.local_normal[:, 1],
+            cc.local_point[:, 0], cc.local_point[:, 1],
+            cc.radius_a, cc.radius_b,
+            cc.local_center_a[:, 0], cc.local_center_a[:, 1],
+            cc.local_center_b[:, 0], cc.local_center_b[:, 1],
+            f(cc.mtype), ni[:, 0], ni[:, 1], ti[:, 0], ti[:, 1]]
+    assert len(rows) == CC_BLOB_K
+    return jnp.stack(rows, axis=0)                      # (51, C)
 
 
 def unpack_cc_blob(blob):

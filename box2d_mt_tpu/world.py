@@ -508,9 +508,8 @@ def _pre_solve(state: State, dt, warm_starting: bool, max_colors: int,
     labels = islands.island_labels(nb, edges_a, edges_b, edges_on,
                                    pt.non_static)
     awake, cc_active = _cc_active_of(pt, labels, ba, bb)
-    pact = (state.contacts.f_a >= 0) & (pt.dyn_a | pt.dyn_b)
     color, color_overflow, rank = coloring.color_constraints(
-        ba, bb, pt.dyn_a, pt.dyn_b, pact, nb, max_colors,
+        ba, bb, pt.dyn_a, pt.dyn_b, cc_active, nb, max_colors,
         with_rank=True)
     return _pre_finish(state, pt, labels, awake, cc_active, color, rank,
                        color_overflow, dt, warm_starting, ba, bb)
@@ -584,14 +583,13 @@ def _solve_middle_b(states: State, pre: _PreSolve, dt,
     dest = jnp.where(lane_ok, my_start + rank, p_total)      # (W, C)
     n_chunks = jnp.max(jnp.sum(chunks_c, axis=1))
     dropped = jnp.zeros((n_worlds,), jnp.int32)
-    blob = jax.vmap(csolver.pack_cc_blob)(cc, pre.ni_it, pre.ti_it)
 
     if use_pallas_mid:
         # slot-order handoff: the kernel builds its own pack/unpack
         # one-hots from `dest` on the MXU, so no host-side permutation
         # (perm-build scatter + take_along_axis gather + unpack gather
         # cost ~31 ms of native DMA at 64x991-body worlds)
-        blob_t = jnp.swapaxes(blob, 1, 2)                 # (W, 51, C)
+        blob_t = jax.vmap(csolver.pack_cc_blob_t)(cc, pre.ni_it, pre.ti_it)
         zeros5 = jnp.zeros((n_worlds, 5, nb), jnp.float32)
         vel_in = jnp.concatenate([bs, zeros5], axis=1)    # (W, 8, N)
         pos_in = jnp.concatenate([
@@ -623,6 +621,7 @@ def _solve_middle_b(states: State, pre: _PreSolve, dt,
     perm = jax.vmap(
         lambda d, s: jnp.full(p_total + 1, nc, jnp.int32).at[d].set(
             jnp.where(d < p_total, s, nc))[:p_total])(dest, slot_ids)
+    blob = jax.vmap(csolver.pack_cc_blob)(cc, pre.ni_it, pre.ti_it)
     blob = jnp.concatenate(
         [blob, jnp.zeros((n_worlds, 1, csolver.CC_BLOB_K), blob.dtype)],
         axis=1)                                          # dump row = nc
@@ -1008,10 +1007,17 @@ def _solve_toi_b(states: State, dt, velocity_iterations: int,
         cand &= enabled
     active0 = cand & awake_pair                     # (W,C)
 
-    # ---- compaction: actives first, canonical slot order within each group
-    order = jnp.argsort(jnp.where(active0, 0, 1).astype(jnp.int32),
-                        axis=1, stable=True)
-    sel = order[:, :kcap]                           # (W,K) contact slots
+    # ---- compaction: actives first, canonical slot order — via cumsum
+    # ranks + a dense masked-max select (a stable argsort costs ~5.6 ms
+    # at 64x4096 lanes; this costs ~0.5 ms). Ranks past the active count
+    # select slot 0; lane_on masks them off below.
+    c_rank = jnp.cumsum(active0.astype(jnp.int32), axis=1) - 1
+    n_active = jnp.sum(active0, axis=1)             # (W,)
+    rr = jnp.arange(kcap)
+    slot_iota = jnp.arange(nc, dtype=jnp.int32)
+    sel_oh = active0[:, :, None] & (c_rank[:, :, None] == rr[None, None, :])
+    sel = jnp.max(jnp.where(sel_oh, slot_iota[None, :, None], 0), axis=1)
+    lane_valid = rr[None, :] < n_active[:, None]    # (W,K)
     # one packed one-hot gather for all per-slot lane data (native batched
     # take costs ~25ns/element here)
     slot_blob = jnp.stack([
@@ -1023,821 +1029,836 @@ def _solve_toi_b(states: State, dt, velocity_iterations: int,
         contacts.restitution_override,
     ], axis=-1)                                     # (W,C,11)
     sg = vgather(slot_blob, sel)                    # (W,K,11)
-    lane_on = sg[..., 0] > 0.5
+    lane_on = (sg[..., 0] > 0.5) & lane_valid
     toi_overflow = (jnp.sum(active0, axis=1)
                     - jnp.sum(lane_on, axis=1)).astype(jnp.int32)
 
-    kia = sg[..., 1].astype(jnp.int32)
-    kib = sg[..., 2].astype(jnp.int32)
-    kba = sg[..., 3].astype(jnp.int32)
-    kbb = sg[..., 4].astype(jnp.int32)
-    ktype_a = sg[..., 5].astype(jnp.int32)
-    ktype_b = sg[..., 6].astype(jnp.int32)
-    ns_a = ktype_a != settings.STATIC_BODY          # endpoints moved by resolve
-    ns_b = ktype_b != settings.STATIC_BODY
-    dyn_a = ktype_a == settings.DYNAMIC_BODY
-    dyn_b = ktype_b == settings.DYNAMIC_BODY
-    kiab = jnp.concatenate([kia, kib], axis=1)      # (W,2K)
-    kbab = jnp.concatenate([kba, kbb], axis=1)
+    # nothing is a TOI candidate anywhere (every free-fall step before
+    # first impact, and any step whose candidates the awake/motion
+    # masks killed): skip the shape/body gathers and the whole round
+    # loop instead of running them fully masked
+    def _toi_rounds(_):
+        kia = sg[..., 1].astype(jnp.int32)
+        kib = sg[..., 2].astype(jnp.int32)
+        kba = sg[..., 3].astype(jnp.int32)
+        kbb = sg[..., 4].astype(jnp.int32)
+        ktype_a = sg[..., 5].astype(jnp.int32)
+        ktype_b = sg[..., 6].astype(jnp.int32)
+        ns_a = ktype_a != settings.STATIC_BODY          # endpoints moved by resolve
+        ns_b = ktype_b != settings.STATIC_BODY
+        dyn_a = ktype_a == settings.DYNAMIC_BODY
+        dyn_b = ktype_b == settings.DYNAMIC_BODY
+        kiab = jnp.concatenate([kia, kib], axis=1)      # (W,2K)
+        kbab = jnp.concatenate([kba, kbb], axis=1)
 
-    # ---- per-lane fixture shape data (gathered once per step)
-    nf = fx.capacity
-    valid8 = jnp.arange(8)[None, None, :] < fx.nverts[..., None]
-    vlen = jnp.sqrt(jnp.sum(fx.verts ** 2, axis=-1))
-    rmax = jnp.max(jnp.where(valid8, vlen, 0.0), axis=-1) + fx.radius  # (W,F)
-    fblob = jnp.concatenate([
-        fx.verts.reshape(n_worlds, nf, 16),
-        fx.normals.reshape(n_worlds, nf, 16),
-        fx.nverts.astype(jnp.float32)[..., None],
-        fx.radius[..., None],
-        fx.friction[..., None],
-        fx.restitution[..., None],
-        fx.shape_type.astype(jnp.float32)[..., None],
-        rmax[..., None],
-        fx.ghosts.astype(jnp.float32)], axis=-1)    # (W,F,40)
-    fg = vgather(fblob, kiab)                       # (W,2K,40)
+        # ---- per-lane fixture shape data (gathered once per step)
+        nf = fx.capacity
+        valid8 = jnp.arange(8)[None, None, :] < fx.nverts[..., None]
+        vlen = jnp.sqrt(jnp.sum(fx.verts ** 2, axis=-1))
+        rmax = jnp.max(jnp.where(valid8, vlen, 0.0), axis=-1) + fx.radius  # (W,F)
+        fblob = jnp.concatenate([
+            fx.verts.reshape(n_worlds, nf, 16),
+            fx.normals.reshape(n_worlds, nf, 16),
+            fx.nverts.astype(jnp.float32)[..., None],
+            fx.radius[..., None],
+            fx.friction[..., None],
+            fx.restitution[..., None],
+            fx.shape_type.astype(jnp.float32)[..., None],
+            rmax[..., None],
+            fx.ghosts.astype(jnp.float32)], axis=-1)    # (W,F,40)
+        fg = vgather(fblob, kiab)                       # (W,2K,40)
 
-    def unpack_shape(h):
-        return dict(
-            verts=h[..., 0:16].reshape(n_worlds, kcap, 8, 2),
-            normals=h[..., 16:32].reshape(n_worlds, kcap, 8, 2),
-            nverts=h[..., 32].astype(jnp.int32),
-            radius=h[..., 33],
-            friction=h[..., 34],
-            restitution=h[..., 35],
-            shape_type=h[..., 36].astype(jnp.int32),
-            rmax=h[..., 37],
-            ghosts=h[..., 38:40] > 0.5)
+        def unpack_shape(h):
+            return dict(
+                verts=h[..., 0:16].reshape(n_worlds, kcap, 8, 2),
+                normals=h[..., 16:32].reshape(n_worlds, kcap, 8, 2),
+                nverts=h[..., 32].astype(jnp.int32),
+                radius=h[..., 33],
+                friction=h[..., 34],
+                restitution=h[..., 35],
+                shape_type=h[..., 36].astype(jnp.int32),
+                rmax=h[..., 37],
+                ghosts=h[..., 38:40] > 0.5)
 
-    sa = unpack_shape(fg[:, :kcap])
-    sb = unpack_shape(fg[:, kcap:])
-    kind = nph.contact_kind(sa["shape_type"], sb["shape_type"])
-    lane_ts = sg[..., 8]
-    fric = jnp.sqrt(sa["friction"] * sb["friction"])
-    fric = jnp.where(sg[..., 9] >= 0.0, sg[..., 9], fric)
-    rest = jnp.maximum(sa["restitution"], sb["restitution"])
-    rest = jnp.where(sg[..., 10] >= 0.0, sg[..., 10], rest)
+        sa = unpack_shape(fg[:, :kcap])
+        sb = unpack_shape(fg[:, kcap:])
+        kind = nph.contact_kind(sa["shape_type"], sb["shape_type"])
+        lane_ts = sg[..., 8]
+        fric = jnp.sqrt(sa["friction"] * sb["friction"])
+        fric = jnp.where(sg[..., 9] >= 0.0, sg[..., 9], fric)
+        rest = jnp.maximum(sa["restitution"], sb["restitution"])
+        rest = jnp.where(sg[..., 10] >= 0.0, sg[..., 10], rest)
 
-    # ---- per-lane body constants
-    bstat = jnp.concatenate([bodies.inv_mass[..., None],
-                             bodies.inv_inertia[..., None],
-                             bodies.local_center], axis=-1)  # (W,N,4)
-    bsg = vgather(bstat, kbab)
-    mA = jnp.where(dyn_a, bsg[:, :kcap, 0], 0.0)
-    iA = jnp.where(dyn_a, bsg[:, :kcap, 1], 0.0)
-    lcA = bsg[:, :kcap, 2:4]
-    mB = jnp.where(dyn_b, bsg[:, kcap:, 0], 0.0)
-    iB = jnp.where(dyn_b, bsg[:, kcap:, 1], 0.0)
-    lcB = bsg[:, kcap:, 2:4]
+        # ---- per-lane body constants
+        bstat = jnp.concatenate([bodies.inv_mass[..., None],
+                                 bodies.inv_inertia[..., None],
+                                 bodies.local_center], axis=-1)  # (W,N,4)
+        bsg = vgather(bstat, kbab)
+        mA = jnp.where(dyn_a, bsg[:, :kcap, 0], 0.0)
+        iA = jnp.where(dyn_a, bsg[:, :kcap, 1], 0.0)
+        lcA = bsg[:, :kcap, 2:4]
+        mB = jnp.where(dyn_b, bsg[:, kcap:, 0], 0.0)
+        iB = jnp.where(dyn_b, bsg[:, kcap:, 1], 0.0)
+        lcB = bsg[:, kcap:, 2:4]
 
-    def flat(x):
-        return x.reshape((n_worlds * kcap,) + x.shape[2:])
+        def flat(x):
+            return x.reshape((n_worlds * kcap,) + x.shape[2:])
 
-    def unflat(x):
-        return x.reshape((n_worlds, kcap) + x.shape[1:])
+        def unflat(x):
+            return x.reshape((n_worlds, kcap) + x.shape[1:])
 
-    rows_a = nph.ShapeRows(verts=flat(sa["verts"]), normals=flat(sa["normals"]),
-                           nverts=flat(sa["nverts"]), ghosts=flat(sa["ghosts"]),
-                           radius=flat(sa["radius"]))
-    rows_b = nph.ShapeRows(verts=flat(sb["verts"]), normals=flat(sb["normals"]),
-                           nverts=flat(sb["nverts"]), ghosts=flat(sb["ghosts"]),
-                           radius=flat(sb["radius"]))
+        rows_a = nph.ShapeRows(verts=flat(sa["verts"]), normals=flat(sa["normals"]),
+                               nverts=flat(sa["nverts"]), ghosts=flat(sa["ghosts"]),
+                               radius=flat(sa["radius"]))
+        rows_b = nph.ShapeRows(verts=flat(sb["verts"]), normals=flat(sb["normals"]),
+                               nverts=flat(sb["nverts"]), ghosts=flat(sb["ghosts"]),
+                               radius=flat(sb["radius"]))
 
-    # packed per-body dynamic state:
-    # [cx, cy, a, c0x, c0y, a0, alpha0, vx, vy, w, awake]
-    body_pack0 = jnp.concatenate([
-        bodies.c, bodies.a[..., None], bodies.c0, bodies.a0[..., None],
-        jnp.zeros((n_worlds, nb, 1), jnp.float32),
-        bodies.v, bodies.w[..., None],
-        bodies.awake.astype(jnp.float32)[..., None]], axis=-1)  # (W,N,11)
-    lane_tc0 = sg[..., 7]
+        # packed per-body dynamic state:
+        # [cx, cy, a, c0x, c0y, a0, alpha0, vx, vy, w, awake]
+        body_pack0 = jnp.concatenate([
+            bodies.c, bodies.a[..., None], bodies.c0, bodies.a0[..., None],
+            jnp.zeros((n_worlds, nb, 1), jnp.float32),
+            bodies.v, bodies.w[..., None],
+            bodies.awake.astype(jnp.float32)[..., None]], axis=-1)  # (W,N,11)
+        lane_tc0 = sg[..., 7]
 
-    def round_body(carry):
-        bp, lane_tc, lane_touch, ntouch, k, _ = carry
-        bgd = vgather(bp, kbab)                     # (W,2K,11)
-        cA, aA = bgd[:, :kcap, 0:2], bgd[:, :kcap, 2]
-        c0A, a0A = bgd[:, :kcap, 3:5], bgd[:, :kcap, 5]
-        al0A = bgd[:, :kcap, 6]
-        vA, wA = bgd[:, :kcap, 7:9], bgd[:, :kcap, 9]
-        awA = bgd[:, :kcap, 10] > 0.5
-        cB, aB = bgd[:, kcap:, 0:2], bgd[:, kcap:, 2]
-        c0B, a0B = bgd[:, kcap:, 3:5], bgd[:, kcap:, 5]
-        al0B = bgd[:, kcap:, 6]
-        vB, wB = bgd[:, kcap:, 7:9], bgd[:, kcap:, 9]
-        awB = bgd[:, kcap:, 10] > 0.5
+        def round_body(carry):
+            bp, lane_tc, lane_touch, ntouch, k, _ = carry
+            bgd = vgather(bp, kbab)                     # (W,2K,11)
+            cA, aA = bgd[:, :kcap, 0:2], bgd[:, :kcap, 2]
+            c0A, a0A = bgd[:, :kcap, 3:5], bgd[:, :kcap, 5]
+            al0A = bgd[:, :kcap, 6]
+            vA, wA = bgd[:, :kcap, 7:9], bgd[:, :kcap, 9]
+            awA = bgd[:, :kcap, 10] > 0.5
+            cB, aB = bgd[:, kcap:, 0:2], bgd[:, kcap:, 2]
+            c0B, a0B = bgd[:, kcap:, 3:5], bgd[:, kcap:, 5]
+            al0B = bgd[:, kcap:, 6]
+            vB, wB = bgd[:, kcap:, 7:9], bgd[:, kcap:, 9]
+            awB = bgd[:, kcap:, 10] > 0.5
 
-        blocked = lane_tc >= settings.MAX_SUB_STEPS
-        al0 = jnp.maximum(al0A, al0B)
+            blocked = lane_tc >= settings.MAX_SUB_STEPS
+            al0 = jnp.maximum(al0A, al0B)
 
-        # sync both sweeps to the later alpha0 (b2TimeOfImpact preamble)
-        def sync(c0x, cx, a0x, ax, alpha0x):
-            beta = (al0 - alpha0x) / jnp.where(alpha0x < 1.0,
-                                               1.0 - alpha0x, 1.0)
-            return (c0x + beta[..., None] * (cx - c0x),
-                    a0x + beta * (ax - a0x))
-
-        c0As, a0As = sync(c0A, cA, a0A, aA, al0A)
-        c0Bs, a0Bs = sync(c0B, cB, a0B, aB, al0B)
-
-        # conservative relative-motion bound over the remaining window: a
-        # pair moving less than half a slop cannot tunnel this step
-        dmov = (cA - c0As) - (cB - c0Bs)
-        mb = (jnp.sqrt(jnp.sum(dmov ** 2, axis=-1))
-              + jnp.abs(aA - a0As) * sa["rmax"]
-              + jnp.abs(aB - a0Bs) * sb["rmax"])
-        awake_now = (awA & ns_a) | (awB & ns_b)
-        run = (lane_on & ~blocked & awake_now & (al0 < 1.0)
-               & (mb > 0.5 * settings.LINEAR_SLOP))
-
-        if _use_pallas_toi():
-            from .ops import pallas_toi as ptoi
-            n_lanes = n_worlds * kcap
-            pad = (-n_lanes) % ptoi.LANE_BLOCK
-            r = ptoi._ROWS
-
-            def fl(x):
-                return jnp.pad(flat(x), (0, pad))
-
-            rows = [jnp.zeros(n_lanes + pad, jnp.float32)] * ptoi.SBLOB_ROWS
-            for name, val in (
-                    ("ra", rows_a.radius), ("rb", rows_b.radius)):
-                rows[r[name]] = jnp.pad(val, (0, pad))
-            for name, val in (
-                    ("lcax", lcA[..., 0]), ("lcay", lcA[..., 1]),
-                    ("lcbx", lcB[..., 0]), ("lcby", lcB[..., 1]),
-                    ("c0ax", c0As[..., 0]), ("c0ay", c0As[..., 1]),
-                    ("cax", cA[..., 0]), ("cay", cA[..., 1]),
-                    ("a0a", a0As), ("aa", aA),
-                    ("c0bx", c0Bs[..., 0]), ("c0by", c0Bs[..., 1]),
-                    ("cbx", cB[..., 0]), ("cby", cB[..., 1]),
-                    ("a0b", a0Bs), ("ab", aB)):
-                rows[r[name]] = fl(val)
-            rows[r["cnta"]] = jnp.pad(rows_a.nverts.astype(jnp.float32),
-                                      (0, pad))
-            rows[r["cntb"]] = jnp.pad(rows_b.nverts.astype(jnp.float32),
-                                      (0, pad))
-            rows[r["tmax"]] = jnp.pad(
-                jnp.ones(n_lanes, jnp.float32), (0, pad))
-            rows[r["active"]] = fl(run.astype(jnp.float32))
-            sblob = jnp.stack(rows)
-            padv = lambda v: jnp.pad(v.T, ((0, 0), (0, pad)))
-            tstate, t = ptoi.time_of_impact_lanes(
-                sblob, padv(rows_a.verts[..., 0]), padv(rows_a.verts[..., 1]),
-                padv(rows_b.verts[..., 0]), padv(rows_b.verts[..., 1]))
-            tstate = tstate[:n_lanes]
-            t = t[:n_lanes]
-        else:
-            tstate, t = jax.vmap(dst.time_of_impact)(
-                rows_a.verts, rows_a.nverts, rows_a.radius,
-                flat(lcA), flat(c0As), flat(cA), flat(a0As), flat(aA),
-                rows_b.verts, rows_b.nverts, rows_b.radius,
-                flat(lcB), flat(c0Bs), flat(cB), flat(a0Bs), flat(aB),
-                jnp.ones(n_worlds * kcap, jnp.float32), flat(run))
-        tstate = unflat(tstate)
-        t = unflat(t)
-        alpha = jnp.where(tstate == dst.TOI_TOUCHING,
-                          jnp.minimum(al0 + (1.0 - al0) * t, 1.0), 1.0)
-        alpha = jnp.where(run, alpha, jnp.inf)
-        has_ev = alpha < 1.0 - 10.0 * 1.1920929e-7
-
-        # ---- disjoint selection: per non-static body, earliest alpha wins;
-        # ties broken by canonical contact slot (ToiLessThan analog)
-        eidx = jnp.concatenate([jnp.where(ns_a & has_ev, kba, nb),
-                                jnp.where(ns_b & has_ev, kbb, nb)], axis=1)
-        av = jnp.where(has_ev, alpha, jnp.inf)
-        amin = vmin(nb + 1, eidx, jnp.concatenate([av, av], axis=1), jnp.inf)
-        win1 = has_ev & (~ns_a | (alpha <= vgs(amin, kba))) \
-            & (~ns_b | (alpha <= vgs(amin, kbb)))
-        selp = sel.astype(jnp.float32)
-        sv = jnp.where(win1, selp, jnp.inf)
-        eidx2 = jnp.concatenate([jnp.where(ns_a & win1, kba, nb),
-                                 jnp.where(ns_b & win1, kbb, nb)], axis=1)
-        smin = vmin(nb + 1, eidx2, jnp.concatenate([sv, sv], axis=1), jnp.inf)
-        selwin = win1 & (~ns_a | (selp == vgs(smin, kba))) \
-            & (~ns_b | (selp == vgs(smin, kbb)))
-        again = jnp.any(selwin)
-        alpha_s = jnp.where(selwin, alpha, 1.0)
-
-        lane_tc = lane_tc + selwin.astype(jnp.float32)
-
-        # no event selected anywhere (the common case once a scene
-        # settles): skip the whole sub-step body — manifold re-eval,
-        # neighbor expansion, 20 NGS iterations, velocity solve — 
-        # instead of running it as masked no-ops (~20-30 ms at
-        # 64x991-body worlds)
-        def _substep(op):
-            bp, ntouch = op
-            # ---- advance both bodies of each selected pair to its alpha
-            def advance(c0x, cx, a0x, ax, alpha0x):
-                beta = (alpha_s - alpha0x) / jnp.where(alpha0x < 1.0,
-                                                       1.0 - alpha0x, 1.0)
+            # sync both sweeps to the later alpha0 (b2TimeOfImpact preamble)
+            def sync(c0x, cx, a0x, ax, alpha0x):
+                beta = (al0 - alpha0x) / jnp.where(alpha0x < 1.0,
+                                                   1.0 - alpha0x, 1.0)
                 return (c0x + beta[..., None] * (cx - c0x),
                         a0x + beta * (ax - a0x))
 
-            cAn, aAn = advance(c0A, cA, a0A, aA, al0A)
-            cBn, aBn = advance(c0B, cB, a0B, aB, al0B)
+            c0As, a0As = sync(c0A, cA, a0A, aA, al0A)
+            c0Bs, a0Bs = sync(c0B, cB, a0B, aB, al0B)
 
-            # ---- re-evaluate the manifold at the advanced transforms
-            qA1 = rot_from_angle(aAn)
-            pA1 = cAn - rot_vec(qA1, lcA)
-            qB1 = rot_from_angle(aBn)
-            pB1 = cBn - rot_vec(qB1, lcB)
-            man = jax.vmap(lambda *ar: nph.collide(*ar, kinds=kinds))(
-                flat(kind), rows_a, flat(pA1), flat(qA1),
-                rows_b, flat(pB1), flat(qB1))
-            man = jax.tree.map(unflat, man)
-            hit = man.count > 0
-            if pre_solve_fn is not None:
-                # the reference re-runs Contact::Update -> PreSolve at every
-                # TOI sub-step (b2World.cpp:871-874); a contact the hook
-                # disables at the TOI configuration consumes the event
-                # without a sub-step, exactly like an empty manifold
-                def _bc(m, v):
-                    return m.reshape(m.shape + (1,) * (v.ndim - m.ndim))
+            # conservative relative-motion bound over the remaining window: a
+            # pair moving less than half a slop cannot tunnel this step
+            dmov = (cA - c0As) - (cB - c0Bs)
+            mb = (jnp.sqrt(jnp.sum(dmov ** 2, axis=-1))
+                  + jnp.abs(aA - a0As) * sa["rmax"]
+                  + jnp.abs(aB - a0Bs) * sb["rmax"])
+            awake_now = (awA & ns_a) | (awB & ns_b)
+            run = (lane_on & ~blocked & awake_now & (al0 < 1.0)
+                   & (mb > 0.5 * settings.LINEAR_SLOP))
 
-                def lane_to_slot(cur, lane_val):
-                    cur_l = jax.vmap(lambda c_, i: c_[i])(cur, sel)
-                    v = jnp.where(_bc(selwin, lane_val), lane_val, cur_l)
-                    return jax.vmap(lambda c_, i, vv: c_.at[i].set(vv))(
-                        cur, sel, v)
+            if _use_pallas_toi():
+                from .ops import pallas_toi as ptoi
+                n_lanes = n_worlds * kcap
+                pad = (-n_lanes) % ptoi.LANE_BLOCK
+                r = ptoi._ROWS
 
-                man_slot = nph.Manifold(
-                    mtype=lane_to_slot(contacts.m_type, man.mtype),
-                    local_point=lane_to_slot(contacts.m_local_point,
-                                             man.local_point),
-                    local_normal=lane_to_slot(contacts.m_local_normal,
-                                              man.local_normal),
-                    points=lane_to_slot(contacts.m_points, man.points),
-                    ids=lane_to_slot(contacts.m_ids, man.ids),
-                    count=lane_to_slot(contacts.m_count, man.count))
-                view = PreSolveView(
-                    f_a=f_a, f_b=f_b, body_a=ba, body_b=bb,
-                    touching=lane_to_slot(contacts.touching, hit),
-                    manifold=man_slot,
-                    old_mtype=contacts.m_type,
-                    old_local_normal=contacts.m_local_normal,
-                    old_count=contacts.m_count,
-                    tangent_speed=contacts.tangent_speed,
-                    friction_override=contacts.friction_override,
-                    restitution_override=contacts.restitution_override)
-                ho = jax.vmap(pre_solve_fn)(states, view)
-                en_slot = ho.get("enabled", None) if isinstance(ho, dict) \
-                    else ho
-                if en_slot is not None:
-                    hit &= jax.vmap(lambda e, i: e[i])(en_slot, sel)
-            # no manifold at the TOI (or PreSolve-disabled): restore (skip all
-            # writes) and mark the pair consumed (b2World.cpp:928-940)
-            solve = selwin & hit
+                def fl(x):
+                    return jnp.pad(flat(x), (0, pad))
 
-            if toi_neighbors:
-                # ---- mini-island expansion (b2World.cpp:895-985): pull the
-                # TOI bodies' other contacts in as extra constraints. Admission
-                # follows the reference exactly: the neighbor endpoint must be
-                # static/kinematic, or a bullet is involved.
-                NK = kcap
-                lane_f = jnp.broadcast_to(
-                    jnp.arange(kcap, dtype=jnp.float32)[None, :],
-                    (n_worlds, kcap))
-                ends_on = jnp.concatenate([ns_a & solve, ns_b & solve], axis=1)
-                # body -> owning lane (resolved pairs are body-disjoint)
-                body_lane = vmin(
-                    nb + 1, jnp.where(ends_on, kbab, nb),
-                    jnp.concatenate([lane_f, lane_f], axis=1),
-                    jnp.inf)[:, :nb]
-                is_toi_body = body_lane < jnp.inf
-                tb_a = vgs(is_toi_body, ba)
-                tb_b = vgs(is_toi_body, bb)
-                dyn_at = type_a == settings.DYNAMIC_BODY
-                dyn_bt = type_b == settings.DYNAMIC_BODY
-                adm_a = tb_a & (~dyn_bt | bul_a | bul_b)
-                adm_b = tb_b & (~dyn_at | bul_a | bul_b)
-                sel_slot = vscatter(
-                    jnp.zeros((n_worlds, nc, 1), jnp.float32), sel,
-                    selwin.astype(jnp.float32)[..., None])[..., 0] > 0.5
-                nbm = pair_exists & ~sensor & (adm_a | adm_b) & ~sel_slot
-                if enabled is not None:
-                    nbm &= enabled
-                parent_f = jnp.where(adm_a, vgs(body_lane, ba),
-                                     vgs(body_lane, bb))
-                norder = jnp.argsort(jnp.where(nbm, 0, 1).astype(jnp.int32),
-                                     axis=1, stable=True)
-                nsel = norder[:, :NK]                   # (W,NK) contact slots
-                nblob = jnp.stack([
-                    nbm.astype(jnp.float32), ia.astype(jnp.float32),
-                    ib.astype(jnp.float32), ba.astype(jnp.float32),
-                    bb.astype(jnp.float32), adm_a.astype(jnp.float32),
-                    jnp.where(jnp.isfinite(parent_f), parent_f, 0.0),
-                    contacts.tangent_speed, contacts.friction_override,
-                    contacts.restitution_override,
-                    type_a.astype(jnp.float32), type_b.astype(jnp.float32),
-                ], axis=-1)                             # (W,C,12)
-                ng = vgather(nblob, nsel)               # (W,NK,12)
-                nl_on = ng[..., 0] > 0.5
-                nia = ng[..., 1].astype(jnp.int32)
-                nib = ng[..., 2].astype(jnp.int32)
-                nba_ = ng[..., 3].astype(jnp.int32)
-                nbb_ = ng[..., 4].astype(jnp.int32)
-                n_toi_a = ng[..., 5] > 0.5              # TOI body is endpoint A
-                nparent = jnp.clip(ng[..., 6], 0, kcap - 1).astype(jnp.int32)
-                n_ts = ng[..., 7]
-                n_dyn_a = ng[..., 10] == settings.DYNAMIC_BODY
-                n_dyn_b = ng[..., 11] == settings.DYNAMIC_BODY
+                rows = [jnp.zeros(n_lanes + pad, jnp.float32)] * ptoi.SBLOB_ROWS
+                for name, val in (
+                        ("ra", rows_a.radius), ("rb", rows_b.radius)):
+                    rows[r[name]] = jnp.pad(val, (0, pad))
+                for name, val in (
+                        ("lcax", lcA[..., 0]), ("lcay", lcA[..., 1]),
+                        ("lcbx", lcB[..., 0]), ("lcby", lcB[..., 1]),
+                        ("c0ax", c0As[..., 0]), ("c0ay", c0As[..., 1]),
+                        ("cax", cA[..., 0]), ("cay", cA[..., 1]),
+                        ("a0a", a0As), ("aa", aA),
+                        ("c0bx", c0Bs[..., 0]), ("c0by", c0Bs[..., 1]),
+                        ("cbx", cB[..., 0]), ("cby", cB[..., 1]),
+                        ("a0b", a0Bs), ("ab", aB)):
+                    rows[r[name]] = fl(val)
+                rows[r["cnta"]] = jnp.pad(rows_a.nverts.astype(jnp.float32),
+                                          (0, pad))
+                rows[r["cntb"]] = jnp.pad(rows_b.nverts.astype(jnp.float32),
+                                          (0, pad))
+                rows[r["tmax"]] = jnp.pad(
+                    jnp.ones(n_lanes, jnp.float32), (0, pad))
+                rows[r["active"]] = fl(run.astype(jnp.float32))
+                sblob = jnp.stack(rows)
+                padv = lambda v: jnp.pad(v.T, ((0, 0), (0, pad)))
+                tstate, t = ptoi.time_of_impact_lanes(
+                    sblob, padv(rows_a.verts[..., 0]), padv(rows_a.verts[..., 1]),
+                    padv(rows_b.verts[..., 0]), padv(rows_b.verts[..., 1]))
+                tstate = tstate[:n_lanes]
+                t = t[:n_lanes]
+            else:
+                tstate, t = jax.vmap(dst.time_of_impact)(
+                    rows_a.verts, rows_a.nverts, rows_a.radius,
+                    flat(lcA), flat(c0As), flat(cA), flat(a0As), flat(aA),
+                    rows_b.verts, rows_b.nverts, rows_b.radius,
+                    flat(lcB), flat(c0Bs), flat(cB), flat(a0Bs), flat(aB),
+                    jnp.ones(n_worlds * kcap, jnp.float32), flat(run))
+            tstate = unflat(tstate)
+            t = unflat(t)
+            alpha = jnp.where(tstate == dst.TOI_TOUCHING,
+                              jnp.minimum(al0 + (1.0 - al0) * t, 1.0), 1.0)
+            alpha = jnp.where(run, alpha, jnp.inf)
+            has_ev = alpha < 1.0 - 10.0 * 1.1920929e-7
 
-                nfg = vgather(fblob, jnp.concatenate([nia, nib], axis=1))
-                sna = unpack_shape(nfg[:, :NK])
-                snb = unpack_shape(nfg[:, NK:])
-                nkind = nph.contact_kind(sna["shape_type"], snb["shape_type"])
-                nfric = jnp.sqrt(sna["friction"] * snb["friction"])
-                nfric = jnp.where(ng[..., 8] >= 0.0, ng[..., 8], nfric)
-                nrest = jnp.maximum(sna["restitution"], snb["restitution"])
-                nrest = jnp.where(ng[..., 9] >= 0.0, ng[..., 9], nrest)
+            # ---- disjoint selection: per non-static body, earliest alpha wins;
+            # ties broken by canonical contact slot (ToiLessThan analog)
+            eidx = jnp.concatenate([jnp.where(ns_a & has_ev, kba, nb),
+                                    jnp.where(ns_b & has_ev, kbb, nb)], axis=1)
+            av = jnp.where(has_ev, alpha, jnp.inf)
+            amin = vmin(nb + 1, eidx, jnp.concatenate([av, av], axis=1), jnp.inf)
+            win1 = has_ev & (~ns_a | (alpha <= vgs(amin, kba))) \
+                & (~ns_b | (alpha <= vgs(amin, kbb)))
+            selp = sel.astype(jnp.float32)
+            sv = jnp.where(win1, selp, jnp.inf)
+            eidx2 = jnp.concatenate([jnp.where(ns_a & win1, kba, nb),
+                                     jnp.where(ns_b & win1, kbb, nb)], axis=1)
+            smin = vmin(nb + 1, eidx2, jnp.concatenate([sv, sv], axis=1), jnp.inf)
+            selwin = win1 & (~ns_a | (selp == vgs(smin, kba))) \
+                & (~ns_b | (selp == vgs(smin, kbb)))
+            again = jnp.any(selwin)
+            alpha_s = jnp.where(selwin, alpha, 1.0)
 
-                nbsg = vgather(bstat, jnp.concatenate([nba_, nbb_], axis=1))
-                # position pass: only the TOI body moves (exact —
-                # SolveTOIPositionConstraints zeroes every island body's mass
-                # except toiIndexA/B, b2ContactSolver.cpp:780-806)
-                n_mA = jnp.where(n_toi_a & n_dyn_a, nbsg[:, :NK, 0], 0.0)
-                n_iA = jnp.where(n_toi_a & n_dyn_a, nbsg[:, :NK, 1], 0.0)
-                n_lcA = nbsg[:, :NK, 2:4]
-                n_mB = jnp.where(~n_toi_a & n_dyn_b, nbsg[:, NK:, 0], 0.0)
-                n_iB = jnp.where(~n_toi_a & n_dyn_b, nbsg[:, NK:, 1], 0.0)
-                n_lcB = nbsg[:, NK:, 2:4]
-                # velocity pass: every island body keeps its real inverse mass
-                # (b2Island.cpp:476-483 runs the plain velocity solver over the
-                # mini island, so dynamic neighbors receive impulses too)
-                nv_mA = jnp.where(n_dyn_a, nbsg[:, :NK, 0], 0.0)
-                nv_iA = jnp.where(n_dyn_a, nbsg[:, :NK, 1], 0.0)
-                nv_mB = jnp.where(n_dyn_b, nbsg[:, NK:, 0], 0.0)
-                nv_iB = jnp.where(n_dyn_b, nbsg[:, NK:, 1], 0.0)
-                o_dyn = jnp.where(n_toi_a, n_dyn_b, n_dyn_a)
+            lane_tc = lane_tc + selwin.astype(jnp.float32)
 
-                # tentative advance of the neighbor endpoint to the parent's
-                # alpha (b2Body::Advance; kept only for manifold evaluation —
-                # static endpoints are unaffected, c0 == c)
-                n_alpha = vgs(alpha_s, nparent)
-                other_body = jnp.where(n_toi_a, nbb_, nba_)
-                og = vgather(bp, other_body)            # (W,NK,11)
-                o_al0 = og[..., 6]
-                beta_o = (n_alpha - o_al0) / jnp.where(o_al0 < 1.0,
-                                                       1.0 - o_al0, 1.0)
-                o_ce = og[..., 3:5] + beta_o[..., None] * (og[..., 0:2]
-                                                           - og[..., 3:5])
-                o_ae = og[..., 5] + beta_o * (og[..., 2] - og[..., 5])
-                o_v = og[..., 7:9]
-                o_w = og[..., 9]
+            # no event selected anywhere (the common case once a scene
+            # settles): skip the whole sub-step body — manifold re-eval,
+            # neighbor expansion, 20 NGS iterations, velocity solve — 
+            # instead of running it as masked no-ops (~20-30 ms at
+            # 64x991-body worlds)
+            def _substep(op):
+                bp, ntouch = op
+                # ---- advance both bodies of each selected pair to its alpha
+                def advance(c0x, cx, a0x, ax, alpha0x):
+                    beta = (alpha_s - alpha0x) / jnp.where(alpha0x < 1.0,
+                                                           1.0 - alpha0x, 1.0)
+                    return (c0x + beta[..., None] * (cx - c0x),
+                            a0x + beta * (ax - a0x))
 
-                # TOI-side evaluation pose: the parent lane's advanced pose
-                adv_pose = jnp.concatenate([cAn, aAn[..., None],
-                                            cBn, aBn[..., None]], axis=-1)
-                gl0 = vgather(adv_pose, nparent)        # (W,NK,6)
-                toi_body = jnp.where(n_toi_a, nba_, nbb_)
-                side_a = toi_body == vgs(kba, nparent)  # parent's A endpoint?
-                tpos0 = jnp.where(side_a[..., None], gl0[..., 0:3],
-                                  gl0[..., 3:6])
-                neA_c = jnp.where(n_toi_a[..., None], tpos0[..., 0:2], o_ce)
-                neA_a = jnp.where(n_toi_a, tpos0[..., 2], o_ae)
-                neB_c = jnp.where(n_toi_a[..., None], o_ce, tpos0[..., 0:2])
-                neB_a = jnp.where(n_toi_a, o_ae, tpos0[..., 2])
-                nqA1 = rot_from_angle(neA_a)
-                npA1 = neA_c - rot_vec(nqA1, n_lcA)
-                nqB1 = rot_from_angle(neB_a)
-                npB1 = neB_c - rot_vec(nqB1, n_lcB)
-                nrows_a = nph.ShapeRows(
-                    verts=flat(sna["verts"]), normals=flat(sna["normals"]),
-                    nverts=flat(sna["nverts"]), ghosts=flat(sna["ghosts"]),
-                    radius=flat(sna["radius"]))
-                nrows_b = nph.ShapeRows(
-                    verts=flat(snb["verts"]), normals=flat(snb["normals"]),
-                    nverts=flat(snb["nverts"]), ghosts=flat(snb["ghosts"]),
-                    radius=flat(snb["radius"]))
-                nman = jax.vmap(lambda *ar: nph.collide(*ar, kinds=kinds))(
-                    flat(nkind), nrows_a, flat(npA1), flat(nqA1),
-                    nrows_b, flat(npB1), flat(nqB1))
-                nman = jax.tree.map(unflat, nman)
-                # keep-if-touching (b2World.cpp:955-961); empty-manifold pairs
-                # are dropped without side effects
-                n_keep = nl_on & (nman.count > 0) & vgs(solve, nparent)
-                ncnt = vscatter(
-                    jnp.zeros((n_worlds, kcap, 1), jnp.float32), nparent,
-                    n_keep.astype(jnp.float32)[..., None])[..., 0]
-                # sequential-application rank: the reference's island solver
-                # runs mini-island contacts one at a time, so kept neighbors
-                # of one parent lane apply their corrections sequentially in
-                # slot order — rank r applies after rank r-1 sees its update.
-                # Within a rank every parent has at most one neighbor, so the
-                # scatters stay conflict-free and exact.
-                lane_iota = jnp.broadcast_to(
-                    jnp.arange(NK, dtype=jnp.int32)[None, :], (n_worlds, NK))
-                seq_key = jnp.where(n_keep, nparent * NK + lane_iota,
-                                    jnp.iinfo(jnp.int32).max)
-                seq_sorted = jnp.sort(seq_key, axis=1)
-                vss = jax.vmap(jnp.searchsorted)
-                n_rank = (vss(seq_sorted, seq_key)
-                          - vss(seq_sorted, nparent * NK)).astype(jnp.int32)
-                n_maxrank = jnp.max(ncnt).astype(jnp.int32)
-                nmpx = (nman.points[..., 0, 0], nman.points[..., 1, 0])
-                nmpy = (nman.points[..., 0, 1], nman.points[..., 1, 1])
+                cAn, aAn = advance(c0A, cA, a0A, aA, al0A)
+                cBn, aBn = advance(c0B, cB, a0B, aB, al0B)
 
-            # ---- TOI position sub-solve: 20 iterations, beta = 0.75
-            mpx = (man.points[..., 0, 0], man.points[..., 1, 0])
-            mpy = (man.points[..., 0, 1], man.points[..., 1, 1])
+                # ---- re-evaluate the manifold at the advanced transforms
+                qA1 = rot_from_angle(aAn)
+                pA1 = cAn - rot_vec(qA1, lcA)
+                qB1 = rot_from_angle(aBn)
+                pB1 = cBn - rot_vec(qB1, lcB)
+                man = jax.vmap(lambda *ar: nph.collide(*ar, kinds=kinds))(
+                    flat(kind), rows_a, flat(pA1), flat(qA1),
+                    rows_b, flat(pB1), flat(qB1))
+                man = jax.tree.map(unflat, man)
+                hit = man.count > 0
+                if pre_solve_fn is not None:
+                    # the reference re-runs Contact::Update -> PreSolve at every
+                    # TOI sub-step (b2World.cpp:871-874); a contact the hook
+                    # disables at the TOI configuration consumes the event
+                    # without a sub-step, exactly like an empty manifold
+                    def _bc(m, v):
+                        return m.reshape(m.shape + (1,) * (v.ndim - m.ndim))
 
-            def pos_pass(_, pc):
-                cax, cay, aa_, cbx, cby, ab_ = pc
-                cax, cay, aa_, cbx, cby, ab_, _ = position_contact_math_s(
-                    man.mtype, man.count, mA, mB, iA, iB,
-                    sa["radius"], sb["radius"],
-                    lcA[..., 0], lcA[..., 1], lcB[..., 0], lcB[..., 1],
-                    man.local_point[..., 0], man.local_point[..., 1],
-                    man.local_normal[..., 0], man.local_normal[..., 1],
-                    mpx, mpy, cax, cay, aa_, cbx, cby, ab_, solve,
-                    settings.TOI_BAUMGARTE, settings.MAX_LINEAR_CORRECTION)
+                    def lane_to_slot(cur, lane_val):
+                        cur_l = jax.vmap(lambda c_, i: c_[i])(cur, sel)
+                        v = jnp.where(_bc(selwin, lane_val), lane_val, cur_l)
+                        return jax.vmap(lambda c_, i, vv: c_.at[i].set(vv))(
+                            cur, sel, v)
+
+                    man_slot = nph.Manifold(
+                        mtype=lane_to_slot(contacts.m_type, man.mtype),
+                        local_point=lane_to_slot(contacts.m_local_point,
+                                                 man.local_point),
+                        local_normal=lane_to_slot(contacts.m_local_normal,
+                                                  man.local_normal),
+                        points=lane_to_slot(contacts.m_points, man.points),
+                        ids=lane_to_slot(contacts.m_ids, man.ids),
+                        count=lane_to_slot(contacts.m_count, man.count))
+                    view = PreSolveView(
+                        f_a=f_a, f_b=f_b, body_a=ba, body_b=bb,
+                        touching=lane_to_slot(contacts.touching, hit),
+                        manifold=man_slot,
+                        old_mtype=contacts.m_type,
+                        old_local_normal=contacts.m_local_normal,
+                        old_count=contacts.m_count,
+                        tangent_speed=contacts.tangent_speed,
+                        friction_override=contacts.friction_override,
+                        restitution_override=contacts.restitution_override)
+                    ho = jax.vmap(pre_solve_fn)(states, view)
+                    en_slot = ho.get("enabled", None) if isinstance(ho, dict) \
+                        else ho
+                    if en_slot is not None:
+                        hit &= jax.vmap(lambda e, i: e[i])(en_slot, sel)
+                # no manifold at the TOI (or PreSolve-disabled): restore (skip all
+                # writes) and mark the pair consumed (b2World.cpp:928-940)
+                solve = selwin & hit
+
                 if toi_neighbors:
-                    # neighbor constraints against the live TOI-body position,
-                    # applied sequentially by rank (neighbor endpoint immobile
-                    # — zero mass in the position pass)
-                    lane_pos = jnp.stack([cax, cay, aa_, cbx, cby, ab_],
-                                         axis=-1)
+                    # ---- mini-island expansion (b2World.cpp:895-985): pull the
+                    # TOI bodies' other contacts in as extra constraints. Admission
+                    # follows the reference exactly: the neighbor endpoint must be
+                    # static/kinematic, or a bullet is involved.
+                    NK = kcap
+                    lane_f = jnp.broadcast_to(
+                        jnp.arange(kcap, dtype=jnp.float32)[None, :],
+                        (n_worlds, kcap))
+                    ends_on = jnp.concatenate([ns_a & solve, ns_b & solve], axis=1)
+                    # body -> owning lane (resolved pairs are body-disjoint)
+                    body_lane = vmin(
+                        nb + 1, jnp.where(ends_on, kbab, nb),
+                        jnp.concatenate([lane_f, lane_f], axis=1),
+                        jnp.inf)[:, :nb]
+                    is_toi_body = body_lane < jnp.inf
+                    tb_a = vgs(is_toi_body, ba)
+                    tb_b = vgs(is_toi_body, bb)
+                    dyn_at = type_a == settings.DYNAMIC_BODY
+                    dyn_bt = type_b == settings.DYNAMIC_BODY
+                    adm_a = tb_a & (~dyn_bt | bul_a | bul_b)
+                    adm_b = tb_b & (~dyn_at | bul_a | bul_b)
+                    sel_slot = vscatter(
+                        jnp.zeros((n_worlds, nc, 1), jnp.float32), sel,
+                        selwin.astype(jnp.float32)[..., None])[..., 0] > 0.5
+                    nbm = pair_exists & ~sensor & (adm_a | adm_b) & ~sel_slot
+                    if enabled is not None:
+                        nbm &= enabled
+                    parent_f = jnp.where(adm_a, vgs(body_lane, ba),
+                                         vgs(body_lane, bb))
+                    norder = jnp.argsort(jnp.where(nbm, 0, 1).astype(jnp.int32),
+                                         axis=1, stable=True)
+                    nsel = norder[:, :NK]                   # (W,NK) contact slots
+                    nblob = jnp.stack([
+                        nbm.astype(jnp.float32), ia.astype(jnp.float32),
+                        ib.astype(jnp.float32), ba.astype(jnp.float32),
+                        bb.astype(jnp.float32), adm_a.astype(jnp.float32),
+                        jnp.where(jnp.isfinite(parent_f), parent_f, 0.0),
+                        contacts.tangent_speed, contacts.friction_override,
+                        contacts.restitution_override,
+                        type_a.astype(jnp.float32), type_b.astype(jnp.float32),
+                    ], axis=-1)                             # (W,C,12)
+                    ng = vgather(nblob, nsel)               # (W,NK,12)
+                    nl_on = ng[..., 0] > 0.5
+                    nia = ng[..., 1].astype(jnp.int32)
+                    nib = ng[..., 2].astype(jnp.int32)
+                    nba_ = ng[..., 3].astype(jnp.int32)
+                    nbb_ = ng[..., 4].astype(jnp.int32)
+                    n_toi_a = ng[..., 5] > 0.5              # TOI body is endpoint A
+                    nparent = jnp.clip(ng[..., 6], 0, kcap - 1).astype(jnp.int32)
+                    n_ts = ng[..., 7]
+                    n_dyn_a = ng[..., 10] == settings.DYNAMIC_BODY
+                    n_dyn_b = ng[..., 11] == settings.DYNAMIC_BODY
 
-                    def seq_pos(carry):
-                        r, lane_pos = carry
+                    nfg = vgather(fblob, jnp.concatenate([nia, nib], axis=1))
+                    sna = unpack_shape(nfg[:, :NK])
+                    snb = unpack_shape(nfg[:, NK:])
+                    nkind = nph.contact_kind(sna["shape_type"], snb["shape_type"])
+                    nfric = jnp.sqrt(sna["friction"] * snb["friction"])
+                    nfric = jnp.where(ng[..., 8] >= 0.0, ng[..., 8], nfric)
+                    nrest = jnp.maximum(sna["restitution"], snb["restitution"])
+                    nrest = jnp.where(ng[..., 9] >= 0.0, ng[..., 9], nrest)
+
+                    nbsg = vgather(bstat, jnp.concatenate([nba_, nbb_], axis=1))
+                    # position pass: only the TOI body moves (exact —
+                    # SolveTOIPositionConstraints zeroes every island body's mass
+                    # except toiIndexA/B, b2ContactSolver.cpp:780-806)
+                    n_mA = jnp.where(n_toi_a & n_dyn_a, nbsg[:, :NK, 0], 0.0)
+                    n_iA = jnp.where(n_toi_a & n_dyn_a, nbsg[:, :NK, 1], 0.0)
+                    n_lcA = nbsg[:, :NK, 2:4]
+                    n_mB = jnp.where(~n_toi_a & n_dyn_b, nbsg[:, NK:, 0], 0.0)
+                    n_iB = jnp.where(~n_toi_a & n_dyn_b, nbsg[:, NK:, 1], 0.0)
+                    n_lcB = nbsg[:, NK:, 2:4]
+                    # velocity pass: every island body keeps its real inverse mass
+                    # (b2Island.cpp:476-483 runs the plain velocity solver over the
+                    # mini island, so dynamic neighbors receive impulses too)
+                    nv_mA = jnp.where(n_dyn_a, nbsg[:, :NK, 0], 0.0)
+                    nv_iA = jnp.where(n_dyn_a, nbsg[:, :NK, 1], 0.0)
+                    nv_mB = jnp.where(n_dyn_b, nbsg[:, NK:, 0], 0.0)
+                    nv_iB = jnp.where(n_dyn_b, nbsg[:, NK:, 1], 0.0)
+                    o_dyn = jnp.where(n_toi_a, n_dyn_b, n_dyn_a)
+
+                    # tentative advance of the neighbor endpoint to the parent's
+                    # alpha (b2Body::Advance; kept only for manifold evaluation —
+                    # static endpoints are unaffected, c0 == c)
+                    n_alpha = vgs(alpha_s, nparent)
+                    other_body = jnp.where(n_toi_a, nbb_, nba_)
+                    og = vgather(bp, other_body)            # (W,NK,11)
+                    o_al0 = og[..., 6]
+                    beta_o = (n_alpha - o_al0) / jnp.where(o_al0 < 1.0,
+                                                           1.0 - o_al0, 1.0)
+                    o_ce = og[..., 3:5] + beta_o[..., None] * (og[..., 0:2]
+                                                               - og[..., 3:5])
+                    o_ae = og[..., 5] + beta_o * (og[..., 2] - og[..., 5])
+                    o_v = og[..., 7:9]
+                    o_w = og[..., 9]
+
+                    # TOI-side evaluation pose: the parent lane's advanced pose
+                    adv_pose = jnp.concatenate([cAn, aAn[..., None],
+                                                cBn, aBn[..., None]], axis=-1)
+                    gl0 = vgather(adv_pose, nparent)        # (W,NK,6)
+                    toi_body = jnp.where(n_toi_a, nba_, nbb_)
+                    side_a = toi_body == vgs(kba, nparent)  # parent's A endpoint?
+                    tpos0 = jnp.where(side_a[..., None], gl0[..., 0:3],
+                                      gl0[..., 3:6])
+                    neA_c = jnp.where(n_toi_a[..., None], tpos0[..., 0:2], o_ce)
+                    neA_a = jnp.where(n_toi_a, tpos0[..., 2], o_ae)
+                    neB_c = jnp.where(n_toi_a[..., None], o_ce, tpos0[..., 0:2])
+                    neB_a = jnp.where(n_toi_a, o_ae, tpos0[..., 2])
+                    nqA1 = rot_from_angle(neA_a)
+                    npA1 = neA_c - rot_vec(nqA1, n_lcA)
+                    nqB1 = rot_from_angle(neB_a)
+                    npB1 = neB_c - rot_vec(nqB1, n_lcB)
+                    nrows_a = nph.ShapeRows(
+                        verts=flat(sna["verts"]), normals=flat(sna["normals"]),
+                        nverts=flat(sna["nverts"]), ghosts=flat(sna["ghosts"]),
+                        radius=flat(sna["radius"]))
+                    nrows_b = nph.ShapeRows(
+                        verts=flat(snb["verts"]), normals=flat(snb["normals"]),
+                        nverts=flat(snb["nverts"]), ghosts=flat(snb["ghosts"]),
+                        radius=flat(snb["radius"]))
+                    nman = jax.vmap(lambda *ar: nph.collide(*ar, kinds=kinds))(
+                        flat(nkind), nrows_a, flat(npA1), flat(nqA1),
+                        nrows_b, flat(npB1), flat(nqB1))
+                    nman = jax.tree.map(unflat, nman)
+                    # keep-if-touching (b2World.cpp:955-961); empty-manifold pairs
+                    # are dropped without side effects
+                    n_keep = nl_on & (nman.count > 0) & vgs(solve, nparent)
+                    ncnt = vscatter(
+                        jnp.zeros((n_worlds, kcap, 1), jnp.float32), nparent,
+                        n_keep.astype(jnp.float32)[..., None])[..., 0]
+                    # sequential-application rank: the reference's island solver
+                    # runs mini-island contacts one at a time, so kept neighbors
+                    # of one parent lane apply their corrections sequentially in
+                    # slot order — rank r applies after rank r-1 sees its update.
+                    # Within a rank every parent has at most one neighbor, so the
+                    # scatters stay conflict-free and exact.
+                    lane_iota = jnp.broadcast_to(
+                        jnp.arange(NK, dtype=jnp.int32)[None, :], (n_worlds, NK))
+                    seq_key = jnp.where(n_keep, nparent * NK + lane_iota,
+                                        jnp.iinfo(jnp.int32).max)
+                    seq_sorted = jnp.sort(seq_key, axis=1)
+                    vss = jax.vmap(jnp.searchsorted)
+                    n_rank = (vss(seq_sorted, seq_key)
+                              - vss(seq_sorted, nparent * NK)).astype(jnp.int32)
+                    n_maxrank = jnp.max(ncnt).astype(jnp.int32)
+                    nmpx = (nman.points[..., 0, 0], nman.points[..., 1, 0])
+                    nmpy = (nman.points[..., 0, 1], nman.points[..., 1, 1])
+
+                # ---- TOI position sub-solve: 20 iterations, beta = 0.75
+                mpx = (man.points[..., 0, 0], man.points[..., 1, 0])
+                mpy = (man.points[..., 0, 1], man.points[..., 1, 1])
+
+                def pos_pass(_, pc):
+                    cax, cay, aa_, cbx, cby, ab_ = pc
+                    cax, cay, aa_, cbx, cby, ab_, _ = position_contact_math_s(
+                        man.mtype, man.count, mA, mB, iA, iB,
+                        sa["radius"], sb["radius"],
+                        lcA[..., 0], lcA[..., 1], lcB[..., 0], lcB[..., 1],
+                        man.local_point[..., 0], man.local_point[..., 1],
+                        man.local_normal[..., 0], man.local_normal[..., 1],
+                        mpx, mpy, cax, cay, aa_, cbx, cby, ab_, solve,
+                        settings.TOI_BAUMGARTE, settings.MAX_LINEAR_CORRECTION)
+                    if toi_neighbors:
+                        # neighbor constraints against the live TOI-body position,
+                        # applied sequentially by rank (neighbor endpoint immobile
+                        # — zero mass in the position pass)
+                        lane_pos = jnp.stack([cax, cay, aa_, cbx, cby, ab_],
+                                             axis=-1)
+
+                        def seq_pos(carry):
+                            r, lane_pos = carry
+                            act_r = n_keep & (n_rank == r)
+                            gl = vgather(lane_pos, nparent)
+                            tp = jnp.where(side_a[..., None], gl[..., 0:3],
+                                           gl[..., 3:6])
+                            pcax = jnp.where(n_toi_a, tp[..., 0], o_ce[..., 0])
+                            pcay = jnp.where(n_toi_a, tp[..., 1], o_ce[..., 1])
+                            paa = jnp.where(n_toi_a, tp[..., 2], o_ae)
+                            pcbx = jnp.where(n_toi_a, o_ce[..., 0], tp[..., 0])
+                            pcby = jnp.where(n_toi_a, o_ce[..., 1], tp[..., 1])
+                            pab = jnp.where(n_toi_a, o_ae, tp[..., 2])
+                            ncax, ncay, naa, ncbx, ncby, nab, _ = \
+                                position_contact_math_s(
+                                    nman.mtype, nman.count, n_mA, n_mB, n_iA, n_iB,
+                                    sna["radius"], snb["radius"],
+                                    n_lcA[..., 0], n_lcA[..., 1],
+                                    n_lcB[..., 0], n_lcB[..., 1],
+                                    nman.local_point[..., 0],
+                                    nman.local_point[..., 1],
+                                    nman.local_normal[..., 0],
+                                    nman.local_normal[..., 1],
+                                    nmpx, nmpy, pcax, pcay, paa, pcbx, pcby, pab,
+                                    act_r, settings.TOI_BAUMGARTE,
+                                    settings.MAX_LINEAR_CORRECTION)
+                            dx = jnp.where(n_toi_a, ncax - pcax, ncbx - pcbx)
+                            dy = jnp.where(n_toi_a, ncay - pcay, ncby - pcby)
+                            da = jnp.where(n_toi_a, naa - paa, nab - pab)
+                            z3 = jnp.zeros_like(dx)
+                            d6 = jnp.where(
+                                side_a[..., None],
+                                jnp.stack([dx, dy, da, z3, z3, z3], axis=-1),
+                                jnp.stack([z3, z3, z3, dx, dy, da], axis=-1))
+                            return r + 1, vscatter(lane_pos, nparent, d6)
+
+                        _, lane_pos = jax.lax.while_loop(
+                            lambda c: c[0] < n_maxrank, seq_pos,
+                            (jnp.int32(0), lane_pos))
+                        cax, cay, aa_ = (lane_pos[..., 0], lane_pos[..., 1],
+                                         lane_pos[..., 2])
+                        cbx, cby, ab_ = (lane_pos[..., 3], lane_pos[..., 4],
+                                         lane_pos[..., 5])
+                    return cax, cay, aa_, cbx, cby, ab_
+
+                cax, cay, aa_, cbx, cby, ab_ = jax.lax.fori_loop(
+                    0, 20, pos_pass,
+                    (cAn[..., 0], cAn[..., 1], aAn, cBn[..., 0], cBn[..., 1], aBn))
+
+                # ---- velocity sub-solve (no warm start) at the solved configuration
+                qA2 = rot_from_angle(aa_)
+                cA2 = jnp.stack([cax, cay], axis=-1)
+                pA2 = cA2 - rot_vec(qA2, lcA)
+                qB2 = rot_from_angle(ab_)
+                cB2 = jnp.stack([cbx, cby], axis=-1)
+                pB2 = cB2 - rot_vec(qB2, lcB)
+                normal, pts, _ = jax.vmap(csolver.world_manifold)(
+                    flat(man.mtype), flat(man.local_point), flat(man.local_normal),
+                    flat(man.points), flat(man.count), flat(pA2), flat(qA2),
+                    rows_a.radius, flat(pB2), flat(qB2), rows_b.radius)
+                normal = unflat(normal)
+                pts = unflat(pts)
+
+                r_a = pts - cA2[:, :, None, :]              # (W,K,2,2)
+                r_b = pts - cB2[:, :, None, :]
+                nx, ny = normal[..., 0], normal[..., 1]
+                rn_a = r_a[..., 0] * ny[..., None] - r_a[..., 1] * nx[..., None]
+                rn_b = r_b[..., 0] * ny[..., None] - r_b[..., 1] * nx[..., None]
+                k_n = (mA + mB)[..., None] + iA[..., None] * rn_a ** 2 \
+                    + iB[..., None] * rn_b ** 2
+                nm = jnp.where(k_n > 0.0, 1.0 / jnp.where(k_n > 0.0, k_n, 1.0), 0.0)
+                tx, ty = ny, -nx
+                rt_a = r_a[..., 0] * ty[..., None] - r_a[..., 1] * tx[..., None]
+                rt_b = r_b[..., 0] * ty[..., None] - r_b[..., 1] * tx[..., None]
+                k_t = (mA + mB)[..., None] + iA[..., None] * rt_a ** 2 \
+                    + iB[..., None] * rt_b ** 2
+                tm = jnp.where(k_t > 0.0, 1.0 / jnp.where(k_t > 0.0, k_t, 1.0), 0.0)
+                dvx = (vB[..., 0:1] - wB[..., None] * r_b[..., 1]
+                       - vA[..., 0:1] + wA[..., None] * r_a[..., 1])
+                dvy = (vB[..., 1:2] + wB[..., None] * r_b[..., 0]
+                       - vA[..., 1:2] - wA[..., None] * r_a[..., 0])
+                v_rel = dvx * nx[..., None] + dvy * ny[..., None]
+                bias = jnp.where(v_rel < -settings.VELOCITY_THRESHOLD,
+                                 -rest[..., None] * v_rel, 0.0)
+                k11 = k_n[..., 0]
+                k22 = k_n[..., 1]
+                k12 = mA + mB + iA * rn_a[..., 0] * rn_a[..., 1] \
+                    + iB * rn_b[..., 0] * rn_b[..., 1]
+                det = k11 * k22 - k12 * k12
+                well = k11 * k11 < 1000.0 * det
+                pc2 = jnp.where((man.count == 2) & ~well, 1, man.count)
+                inv_det = jnp.where(det != 0.0,
+                                    1.0 / jnp.where(det != 0.0, det, 1.0), 0.0)
+
+                if toi_neighbors:
+                    # ---- neighbor velocity-constraint prep at the position-solved
+                    # TOI-body pose (island velocity pass, b2Island.cpp:474-483)
+                    # with REAL masses on both endpoints — dynamic neighbors
+                    # receive impulses and are committed below, as the reference's
+                    # mini island does
+                    lane_pos_f = jnp.stack([cax, cay, aa_, cbx, cby, ab_], axis=-1)
+                    glf = vgather(lane_pos_f, nparent)
+                    tpf = jnp.where(side_a[..., None], glf[..., 0:3],
+                                    glf[..., 3:6])
+                    nfA_c = jnp.where(n_toi_a[..., None], tpf[..., 0:2], o_ce)
+                    nfA_a = jnp.where(n_toi_a, tpf[..., 2], o_ae)
+                    nfB_c = jnp.where(n_toi_a[..., None], o_ce, tpf[..., 0:2])
+                    nfB_a = jnp.where(n_toi_a, o_ae, tpf[..., 2])
+                    nqA2 = rot_from_angle(nfA_a)
+                    npA2 = nfA_c - rot_vec(nqA2, n_lcA)
+                    nqB2 = rot_from_angle(nfB_a)
+                    npB2 = nfB_c - rot_vec(nqB2, n_lcB)
+                    nnormal, npts, _ = jax.vmap(csolver.world_manifold)(
+                        flat(nman.mtype), flat(nman.local_point),
+                        flat(nman.local_normal), flat(nman.points),
+                        flat(nman.count), flat(npA2), flat(nqA2), nrows_a.radius,
+                        flat(npB2), flat(nqB2), nrows_b.radius)
+                    nnormal = unflat(nnormal)
+                    npts = unflat(npts)
+                    n_r_a = npts - nfA_c[:, :, None, :]
+                    n_r_b = npts - nfB_c[:, :, None, :]
+                    nnx, nny = nnormal[..., 0], nnormal[..., 1]
+                    nrn_a = (n_r_a[..., 0] * nny[..., None]
+                             - n_r_a[..., 1] * nnx[..., None])
+                    nrn_b = (n_r_b[..., 0] * nny[..., None]
+                             - n_r_b[..., 1] * nnx[..., None])
+                    nk_n = ((nv_mA + nv_mB)[..., None]
+                            + nv_iA[..., None] * nrn_a ** 2
+                            + nv_iB[..., None] * nrn_b ** 2)
+                    nnm = jnp.where(nk_n > 0.0,
+                                    1.0 / jnp.where(nk_n > 0.0, nk_n, 1.0), 0.0)
+                    ntx, nty = nny, -nnx
+                    nrt_a = (n_r_a[..., 0] * nty[..., None]
+                             - n_r_a[..., 1] * ntx[..., None])
+                    nrt_b = (n_r_b[..., 0] * nty[..., None]
+                             - n_r_b[..., 1] * ntx[..., None])
+                    nk_t = ((nv_mA + nv_mB)[..., None]
+                            + nv_iA[..., None] * nrt_a ** 2
+                            + nv_iB[..., None] * nrt_b ** 2)
+                    ntm = jnp.where(nk_t > 0.0,
+                                    1.0 / jnp.where(nk_t > 0.0, nk_t, 1.0), 0.0)
+                    lane_vel0 = jnp.stack([vA[..., 0], vA[..., 1], wA,
+                                           vB[..., 0], vB[..., 1], wB], axis=-1)
+                    gv0 = vgather(lane_vel0, nparent)
+                    tv0 = jnp.where(side_a[..., None], gv0[..., 0:3],
+                                    gv0[..., 3:6])
+                    nvA0 = jnp.where(n_toi_a[..., None], tv0[..., 0:2], o_v)
+                    nwA0 = jnp.where(n_toi_a, tv0[..., 2], o_w)
+                    nvB0 = jnp.where(n_toi_a[..., None], o_v, tv0[..., 0:2])
+                    nwB0 = jnp.where(n_toi_a, o_w, tv0[..., 2])
+                    ndvx = (nvB0[..., 0:1] - nwB0[..., None] * n_r_b[..., 1]
+                            - nvA0[..., 0:1] + nwA0[..., None] * n_r_a[..., 1])
+                    ndvy = (nvB0[..., 1:2] + nwB0[..., None] * n_r_b[..., 0]
+                            - nvA0[..., 1:2] - nwA0[..., None] * n_r_a[..., 0])
+                    nv_rel = ndvx * nnx[..., None] + ndvy * nny[..., None]
+                    nbias = jnp.where(nv_rel < -settings.VELOCITY_THRESHOLD,
+                                      -nrest[..., None] * nv_rel, 0.0)
+                    nk11 = nk_n[..., 0]
+                    nk22 = nk_n[..., 1]
+                    nk12 = (nv_mA + nv_mB + nv_iA * nrn_a[..., 0] * nrn_a[..., 1]
+                            + nv_iB * nrn_b[..., 0] * nrn_b[..., 1])
+                    ndet = nk11 * nk22 - nk12 * nk12
+                    nwell = nk11 * nk11 < 1000.0 * ndet
+                    npc2 = jnp.where((nman.count == 2) & ~nwell, 1, nman.count)
+                    ninv_det = jnp.where(ndet != 0.0,
+                                         1.0 / jnp.where(ndet != 0.0, ndet, 1.0),
+                                         0.0)
+
+                def vel_pass(_, vc):
+                    if toi_neighbors:
+                        (ni0, ni1, ti0, ti1, vax, vay, wa_, vbx, vby, wb_,
+                         nn0, nn1, nt0, nt1, ovx, ovy, ow) = vc
+                    else:
+                        ni0, ni1, ti0, ti1, vax, vay, wa_, vbx, vby, wb_ = vc
+                    (ni0, ni1), (ti0, ti1), vax, vay, wa_, vbx, vby, wb_ = \
+                        velocity_contact_math_s(
+                            fric, lane_ts, mA, mB, iA, iB, nx, ny,
+                            (r_a[..., 0, 0], r_a[..., 1, 0]),
+                            (r_a[..., 0, 1], r_a[..., 1, 1]),
+                            (r_b[..., 0, 0], r_b[..., 1, 0]),
+                            (r_b[..., 0, 1], r_b[..., 1, 1]),
+                            (nm[..., 0], nm[..., 1]), (tm[..., 0], tm[..., 1]),
+                            (bias[..., 0], bias[..., 1]),
+                            k11, k12, k22, inv_det * k22, -inv_det * k12,
+                            inv_det * k11, pc2,
+                            (ni0, ni1), (ti0, ti1),
+                            vax, vay, wa_, vbx, vby, wb_, solve)
+                    if not toi_neighbors:
+                        return ni0, ni1, ti0, ti1, vax, vay, wa_, vbx, vby, wb_
+                    # neighbor impulses against the live TOI-body velocity,
+                    # applied sequentially by rank; the other endpoint carries
+                    # its own live velocity copy and receives impulses too
+                    lane_vel = jnp.stack([vax, vay, wa_, vbx, vby, wb_], axis=-1)
+
+                    def seq_vel(carry):
+                        r, lane_vel, nn0, nn1, nt0, nt1, ovx, ovy, ow = carry
                         act_r = n_keep & (n_rank == r)
-                        gl = vgather(lane_pos, nparent)
-                        tp = jnp.where(side_a[..., None], gl[..., 0:3],
-                                       gl[..., 3:6])
-                        pcax = jnp.where(n_toi_a, tp[..., 0], o_ce[..., 0])
-                        pcay = jnp.where(n_toi_a, tp[..., 1], o_ce[..., 1])
-                        paa = jnp.where(n_toi_a, tp[..., 2], o_ae)
-                        pcbx = jnp.where(n_toi_a, o_ce[..., 0], tp[..., 0])
-                        pcby = jnp.where(n_toi_a, o_ce[..., 1], tp[..., 1])
-                        pab = jnp.where(n_toi_a, o_ae, tp[..., 2])
-                        ncax, ncay, naa, ncbx, ncby, nab, _ = \
-                            position_contact_math_s(
-                                nman.mtype, nman.count, n_mA, n_mB, n_iA, n_iB,
-                                sna["radius"], snb["radius"],
-                                n_lcA[..., 0], n_lcA[..., 1],
-                                n_lcB[..., 0], n_lcB[..., 1],
-                                nman.local_point[..., 0],
-                                nman.local_point[..., 1],
-                                nman.local_normal[..., 0],
-                                nman.local_normal[..., 1],
-                                nmpx, nmpy, pcax, pcay, paa, pcbx, pcby, pab,
-                                act_r, settings.TOI_BAUMGARTE,
-                                settings.MAX_LINEAR_CORRECTION)
-                        dx = jnp.where(n_toi_a, ncax - pcax, ncbx - pcbx)
-                        dy = jnp.where(n_toi_a, ncay - pcay, ncby - pcby)
-                        da = jnp.where(n_toi_a, naa - paa, nab - pab)
-                        z3 = jnp.zeros_like(dx)
+                        gv = vgather(lane_vel, nparent)
+                        tv = jnp.where(side_a[..., None], gv[..., 0:3],
+                                       gv[..., 3:6])
+                        nvax = jnp.where(n_toi_a, tv[..., 0], ovx)
+                        nvay = jnp.where(n_toi_a, tv[..., 1], ovy)
+                        nwa = jnp.where(n_toi_a, tv[..., 2], ow)
+                        nvbx = jnp.where(n_toi_a, ovx, tv[..., 0])
+                        nvby = jnp.where(n_toi_a, ovy, tv[..., 1])
+                        nwb = jnp.where(n_toi_a, ow, tv[..., 2])
+                        (nn0, nn1), (nt0, nt1), nvax2, nvay2, nwa2, nvbx2, \
+                            nvby2, nwb2 = velocity_contact_math_s(
+                                nfric, n_ts, nv_mA, nv_mB, nv_iA, nv_iB, nnx, nny,
+                                (n_r_a[..., 0, 0], n_r_a[..., 1, 0]),
+                                (n_r_a[..., 0, 1], n_r_a[..., 1, 1]),
+                                (n_r_b[..., 0, 0], n_r_b[..., 1, 0]),
+                                (n_r_b[..., 0, 1], n_r_b[..., 1, 1]),
+                                (nnm[..., 0], nnm[..., 1]),
+                                (ntm[..., 0], ntm[..., 1]),
+                                (nbias[..., 0], nbias[..., 1]),
+                                nk11, nk12, nk22, ninv_det * nk22,
+                                -ninv_det * nk12, ninv_det * nk11, npc2,
+                                (nn0, nn1), (nt0, nt1),
+                                nvax, nvay, nwa, nvbx, nvby, nwb, act_r)
+                        dvx_ = jnp.where(n_toi_a, nvax2 - nvax, nvbx2 - nvbx)
+                        dvy_ = jnp.where(n_toi_a, nvay2 - nvay, nvby2 - nvby)
+                        dw_ = jnp.where(n_toi_a, nwa2 - nwa, nwb2 - nwb)
+                        z3 = jnp.zeros_like(dvx_)
                         d6 = jnp.where(
                             side_a[..., None],
-                            jnp.stack([dx, dy, da, z3, z3, z3], axis=-1),
-                            jnp.stack([z3, z3, z3, dx, dy, da], axis=-1))
-                        return r + 1, vscatter(lane_pos, nparent, d6)
+                            jnp.stack([dvx_, dvy_, dw_, z3, z3, z3], axis=-1),
+                            jnp.stack([z3, z3, z3, dvx_, dvy_, dw_], axis=-1))
+                        lane_vel = vscatter(lane_vel, nparent, d6)
+                        ovx = jnp.where(act_r & n_toi_a, nvbx2, ovx)
+                        ovx = jnp.where(act_r & ~n_toi_a, nvax2, ovx)
+                        ovy = jnp.where(act_r & n_toi_a, nvby2, ovy)
+                        ovy = jnp.where(act_r & ~n_toi_a, nvay2, ovy)
+                        ow = jnp.where(act_r & n_toi_a, nwb2, ow)
+                        ow = jnp.where(act_r & ~n_toi_a, nwa2, ow)
+                        return r + 1, lane_vel, nn0, nn1, nt0, nt1, ovx, ovy, ow
 
-                    _, lane_pos = jax.lax.while_loop(
-                        lambda c: c[0] < n_maxrank, seq_pos,
-                        (jnp.int32(0), lane_pos))
-                    cax, cay, aa_ = (lane_pos[..., 0], lane_pos[..., 1],
-                                     lane_pos[..., 2])
-                    cbx, cby, ab_ = (lane_pos[..., 3], lane_pos[..., 4],
-                                     lane_pos[..., 5])
-                return cax, cay, aa_, cbx, cby, ab_
+                    (_, lane_vel, nn0, nn1, nt0, nt1, ovx, ovy, ow) = \
+                        jax.lax.while_loop(
+                            lambda c: c[0] < n_maxrank, seq_vel,
+                            (jnp.int32(0), lane_vel, nn0, nn1, nt0, nt1,
+                             ovx, ovy, ow))
+                    return (ni0, ni1, ti0, ti1,
+                            lane_vel[..., 0], lane_vel[..., 1], lane_vel[..., 2],
+                            lane_vel[..., 3], lane_vel[..., 4], lane_vel[..., 5],
+                            nn0, nn1, nt0, nt1, ovx, ovy, ow)
 
-            cax, cay, aa_, cbx, cby, ab_ = jax.lax.fori_loop(
-                0, 20, pos_pass,
-                (cAn[..., 0], cAn[..., 1], aAn, cBn[..., 0], cBn[..., 1], aBn))
-
-            # ---- velocity sub-solve (no warm start) at the solved configuration
-            qA2 = rot_from_angle(aa_)
-            cA2 = jnp.stack([cax, cay], axis=-1)
-            pA2 = cA2 - rot_vec(qA2, lcA)
-            qB2 = rot_from_angle(ab_)
-            cB2 = jnp.stack([cbx, cby], axis=-1)
-            pB2 = cB2 - rot_vec(qB2, lcB)
-            normal, pts, _ = jax.vmap(csolver.world_manifold)(
-                flat(man.mtype), flat(man.local_point), flat(man.local_normal),
-                flat(man.points), flat(man.count), flat(pA2), flat(qA2),
-                rows_a.radius, flat(pB2), flat(qB2), rows_b.radius)
-            normal = unflat(normal)
-            pts = unflat(pts)
-
-            r_a = pts - cA2[:, :, None, :]              # (W,K,2,2)
-            r_b = pts - cB2[:, :, None, :]
-            nx, ny = normal[..., 0], normal[..., 1]
-            rn_a = r_a[..., 0] * ny[..., None] - r_a[..., 1] * nx[..., None]
-            rn_b = r_b[..., 0] * ny[..., None] - r_b[..., 1] * nx[..., None]
-            k_n = (mA + mB)[..., None] + iA[..., None] * rn_a ** 2 \
-                + iB[..., None] * rn_b ** 2
-            nm = jnp.where(k_n > 0.0, 1.0 / jnp.where(k_n > 0.0, k_n, 1.0), 0.0)
-            tx, ty = ny, -nx
-            rt_a = r_a[..., 0] * ty[..., None] - r_a[..., 1] * tx[..., None]
-            rt_b = r_b[..., 0] * ty[..., None] - r_b[..., 1] * tx[..., None]
-            k_t = (mA + mB)[..., None] + iA[..., None] * rt_a ** 2 \
-                + iB[..., None] * rt_b ** 2
-            tm = jnp.where(k_t > 0.0, 1.0 / jnp.where(k_t > 0.0, k_t, 1.0), 0.0)
-            dvx = (vB[..., 0:1] - wB[..., None] * r_b[..., 1]
-                   - vA[..., 0:1] + wA[..., None] * r_a[..., 1])
-            dvy = (vB[..., 1:2] + wB[..., None] * r_b[..., 0]
-                   - vA[..., 1:2] - wA[..., None] * r_a[..., 0])
-            v_rel = dvx * nx[..., None] + dvy * ny[..., None]
-            bias = jnp.where(v_rel < -settings.VELOCITY_THRESHOLD,
-                             -rest[..., None] * v_rel, 0.0)
-            k11 = k_n[..., 0]
-            k22 = k_n[..., 1]
-            k12 = mA + mB + iA * rn_a[..., 0] * rn_a[..., 1] \
-                + iB * rn_b[..., 0] * rn_b[..., 1]
-            det = k11 * k22 - k12 * k12
-            well = k11 * k11 < 1000.0 * det
-            pc2 = jnp.where((man.count == 2) & ~well, 1, man.count)
-            inv_det = jnp.where(det != 0.0,
-                                1.0 / jnp.where(det != 0.0, det, 1.0), 0.0)
-
-            if toi_neighbors:
-                # ---- neighbor velocity-constraint prep at the position-solved
-                # TOI-body pose (island velocity pass, b2Island.cpp:474-483)
-                # with REAL masses on both endpoints — dynamic neighbors
-                # receive impulses and are committed below, as the reference's
-                # mini island does
-                lane_pos_f = jnp.stack([cax, cay, aa_, cbx, cby, ab_], axis=-1)
-                glf = vgather(lane_pos_f, nparent)
-                tpf = jnp.where(side_a[..., None], glf[..., 0:3],
-                                glf[..., 3:6])
-                nfA_c = jnp.where(n_toi_a[..., None], tpf[..., 0:2], o_ce)
-                nfA_a = jnp.where(n_toi_a, tpf[..., 2], o_ae)
-                nfB_c = jnp.where(n_toi_a[..., None], o_ce, tpf[..., 0:2])
-                nfB_a = jnp.where(n_toi_a, o_ae, tpf[..., 2])
-                nqA2 = rot_from_angle(nfA_a)
-                npA2 = nfA_c - rot_vec(nqA2, n_lcA)
-                nqB2 = rot_from_angle(nfB_a)
-                npB2 = nfB_c - rot_vec(nqB2, n_lcB)
-                nnormal, npts, _ = jax.vmap(csolver.world_manifold)(
-                    flat(nman.mtype), flat(nman.local_point),
-                    flat(nman.local_normal), flat(nman.points),
-                    flat(nman.count), flat(npA2), flat(nqA2), nrows_a.radius,
-                    flat(npB2), flat(nqB2), nrows_b.radius)
-                nnormal = unflat(nnormal)
-                npts = unflat(npts)
-                n_r_a = npts - nfA_c[:, :, None, :]
-                n_r_b = npts - nfB_c[:, :, None, :]
-                nnx, nny = nnormal[..., 0], nnormal[..., 1]
-                nrn_a = (n_r_a[..., 0] * nny[..., None]
-                         - n_r_a[..., 1] * nnx[..., None])
-                nrn_b = (n_r_b[..., 0] * nny[..., None]
-                         - n_r_b[..., 1] * nnx[..., None])
-                nk_n = ((nv_mA + nv_mB)[..., None]
-                        + nv_iA[..., None] * nrn_a ** 2
-                        + nv_iB[..., None] * nrn_b ** 2)
-                nnm = jnp.where(nk_n > 0.0,
-                                1.0 / jnp.where(nk_n > 0.0, nk_n, 1.0), 0.0)
-                ntx, nty = nny, -nnx
-                nrt_a = (n_r_a[..., 0] * nty[..., None]
-                         - n_r_a[..., 1] * ntx[..., None])
-                nrt_b = (n_r_b[..., 0] * nty[..., None]
-                         - n_r_b[..., 1] * ntx[..., None])
-                nk_t = ((nv_mA + nv_mB)[..., None]
-                        + nv_iA[..., None] * nrt_a ** 2
-                        + nv_iB[..., None] * nrt_b ** 2)
-                ntm = jnp.where(nk_t > 0.0,
-                                1.0 / jnp.where(nk_t > 0.0, nk_t, 1.0), 0.0)
-                lane_vel0 = jnp.stack([vA[..., 0], vA[..., 1], wA,
-                                       vB[..., 0], vB[..., 1], wB], axis=-1)
-                gv0 = vgather(lane_vel0, nparent)
-                tv0 = jnp.where(side_a[..., None], gv0[..., 0:3],
-                                gv0[..., 3:6])
-                nvA0 = jnp.where(n_toi_a[..., None], tv0[..., 0:2], o_v)
-                nwA0 = jnp.where(n_toi_a, tv0[..., 2], o_w)
-                nvB0 = jnp.where(n_toi_a[..., None], o_v, tv0[..., 0:2])
-                nwB0 = jnp.where(n_toi_a, o_w, tv0[..., 2])
-                ndvx = (nvB0[..., 0:1] - nwB0[..., None] * n_r_b[..., 1]
-                        - nvA0[..., 0:1] + nwA0[..., None] * n_r_a[..., 1])
-                ndvy = (nvB0[..., 1:2] + nwB0[..., None] * n_r_b[..., 0]
-                        - nvA0[..., 1:2] - nwA0[..., None] * n_r_a[..., 0])
-                nv_rel = ndvx * nnx[..., None] + ndvy * nny[..., None]
-                nbias = jnp.where(nv_rel < -settings.VELOCITY_THRESHOLD,
-                                  -nrest[..., None] * nv_rel, 0.0)
-                nk11 = nk_n[..., 0]
-                nk22 = nk_n[..., 1]
-                nk12 = (nv_mA + nv_mB + nv_iA * nrn_a[..., 0] * nrn_a[..., 1]
-                        + nv_iB * nrn_b[..., 0] * nrn_b[..., 1])
-                ndet = nk11 * nk22 - nk12 * nk12
-                nwell = nk11 * nk11 < 1000.0 * ndet
-                npc2 = jnp.where((nman.count == 2) & ~nwell, 1, nman.count)
-                ninv_det = jnp.where(ndet != 0.0,
-                                     1.0 / jnp.where(ndet != 0.0, ndet, 1.0),
-                                     0.0)
-
-            def vel_pass(_, vc):
+                z = jnp.zeros_like(fric)
+                vinit = (z, z, z, z, vA[..., 0], vA[..., 1], wA,
+                         vB[..., 0], vB[..., 1], wB)
                 if toi_neighbors:
-                    (ni0, ni1, ti0, ti1, vax, vay, wa_, vbx, vby, wb_,
-                     nn0, nn1, nt0, nt1, ovx, ovy, ow) = vc
-                else:
-                    ni0, ni1, ti0, ti1, vax, vay, wa_, vbx, vby, wb_ = vc
-                (ni0, ni1), (ti0, ti1), vax, vay, wa_, vbx, vby, wb_ = \
-                    velocity_contact_math_s(
-                        fric, lane_ts, mA, mB, iA, iB, nx, ny,
-                        (r_a[..., 0, 0], r_a[..., 1, 0]),
-                        (r_a[..., 0, 1], r_a[..., 1, 1]),
-                        (r_b[..., 0, 0], r_b[..., 1, 0]),
-                        (r_b[..., 0, 1], r_b[..., 1, 1]),
-                        (nm[..., 0], nm[..., 1]), (tm[..., 0], tm[..., 1]),
-                        (bias[..., 0], bias[..., 1]),
-                        k11, k12, k22, inv_det * k22, -inv_det * k12,
-                        inv_det * k11, pc2,
-                        (ni0, ni1), (ti0, ti1),
-                        vax, vay, wa_, vbx, vby, wb_, solve)
-                if not toi_neighbors:
-                    return ni0, ni1, ti0, ti1, vax, vay, wa_, vbx, vby, wb_
-                # neighbor impulses against the live TOI-body velocity,
-                # applied sequentially by rank; the other endpoint carries
-                # its own live velocity copy and receives impulses too
-                lane_vel = jnp.stack([vax, vay, wa_, vbx, vby, wb_], axis=-1)
+                    zn = jnp.zeros_like(nfric)
+                    vinit = vinit + (zn, zn, zn, zn,
+                                     o_v[..., 0], o_v[..., 1], o_w)
+                vout = jax.lax.fori_loop(0, velocity_iterations, vel_pass, vinit)
+                vax, vay, wa_, vbx, vby, wb_ = vout[4:10]
 
-                def seq_vel(carry):
-                    r, lane_vel, nn0, nn1, nt0, nt1, ovx, ovy, ow = carry
-                    act_r = n_keep & (n_rank == r)
-                    gv = vgather(lane_vel, nparent)
-                    tv = jnp.where(side_a[..., None], gv[..., 0:3],
-                                   gv[..., 3:6])
-                    nvax = jnp.where(n_toi_a, tv[..., 0], ovx)
-                    nvay = jnp.where(n_toi_a, tv[..., 1], ovy)
-                    nwa = jnp.where(n_toi_a, tv[..., 2], ow)
-                    nvbx = jnp.where(n_toi_a, ovx, tv[..., 0])
-                    nvby = jnp.where(n_toi_a, ovy, tv[..., 1])
-                    nwb = jnp.where(n_toi_a, ow, tv[..., 2])
-                    (nn0, nn1), (nt0, nt1), nvax2, nvay2, nwa2, nvbx2, \
-                        nvby2, nwb2 = velocity_contact_math_s(
-                            nfric, n_ts, nv_mA, nv_mB, nv_iA, nv_iB, nnx, nny,
-                            (n_r_a[..., 0, 0], n_r_a[..., 1, 0]),
-                            (n_r_a[..., 0, 1], n_r_a[..., 1, 1]),
-                            (n_r_b[..., 0, 0], n_r_b[..., 1, 0]),
-                            (n_r_b[..., 0, 1], n_r_b[..., 1, 1]),
-                            (nnm[..., 0], nnm[..., 1]),
-                            (ntm[..., 0], ntm[..., 1]),
-                            (nbias[..., 0], nbias[..., 1]),
-                            nk11, nk12, nk22, ninv_det * nk22,
-                            -ninv_det * nk12, ninv_det * nk11, npc2,
-                            (nn0, nn1), (nt0, nt1),
-                            nvax, nvay, nwa, nvbx, nvby, nwb, act_r)
-                    dvx_ = jnp.where(n_toi_a, nvax2 - nvax, nvbx2 - nvbx)
-                    dvy_ = jnp.where(n_toi_a, nvay2 - nvay, nvby2 - nvby)
-                    dw_ = jnp.where(n_toi_a, nwa2 - nwa, nwb2 - nwb)
-                    z3 = jnp.zeros_like(dvx_)
-                    d6 = jnp.where(
-                        side_a[..., None],
-                        jnp.stack([dvx_, dvy_, dw_, z3, z3, z3], axis=-1),
-                        jnp.stack([z3, z3, z3, dvx_, dvy_, dw_], axis=-1))
-                    lane_vel = vscatter(lane_vel, nparent, d6)
-                    ovx = jnp.where(act_r & n_toi_a, nvbx2, ovx)
-                    ovx = jnp.where(act_r & ~n_toi_a, nvax2, ovx)
-                    ovy = jnp.where(act_r & n_toi_a, nvby2, ovy)
-                    ovy = jnp.where(act_r & ~n_toi_a, nvay2, ovy)
-                    ow = jnp.where(act_r & n_toi_a, nwb2, ow)
-                    ow = jnp.where(act_r & ~n_toi_a, nwa2, ow)
-                    return r + 1, lane_vel, nn0, nn1, nt0, nt1, ovx, ovy, ow
+                # ---- complete the remainder of the step for the pair
+                h = (1.0 - jnp.where(selwin, alpha_s, 1.0)) * dt
 
-                (_, lane_vel, nn0, nn1, nt0, nt1, ovx, ovy, ow) = \
-                    jax.lax.while_loop(
-                        lambda c: c[0] < n_maxrank, seq_vel,
-                        (jnp.int32(0), lane_vel, nn0, nn1, nt0, nt1,
-                         ovx, ovy, ow))
-                return (ni0, ni1, ti0, ti1,
-                        lane_vel[..., 0], lane_vel[..., 1], lane_vel[..., 2],
-                        lane_vel[..., 3], lane_vel[..., 4], lane_vel[..., 5],
-                        nn0, nn1, nt0, nt1, ovx, ovy, ow)
+                def integrate_lane(cx, cy, a_, vx, vy, w_, movable, h=h):
+                    t2 = h * h * (vx ** 2 + vy ** 2)
+                    rat = jnp.where(
+                        t2 > settings.MAX_TRANSLATION_SQUARED,
+                        settings.MAX_TRANSLATION / jnp.sqrt(jnp.maximum(t2, 1e-30)),
+                        1.0)
+                    vx = vx * rat
+                    vy = vy * rat
+                    rot = h * w_
+                    ratr = jnp.where(
+                        rot * rot > settings.MAX_ROTATION_SQUARED,
+                        settings.MAX_ROTATION
+                        / jnp.abs(jnp.where(rot == 0.0, 1.0, rot)), 1.0)
+                    w_ = w_ * ratr
+                    return (jnp.where(movable, cx + h * vx, cx),
+                            jnp.where(movable, cy + h * vy, cy),
+                            jnp.where(movable, a_ + h * w_, a_), vx, vy, w_)
 
-            z = jnp.zeros_like(fric)
-            vinit = (z, z, z, z, vA[..., 0], vA[..., 1], wA,
-                     vB[..., 0], vB[..., 1], wB)
-            if toi_neighbors:
-                zn = jnp.zeros_like(nfric)
-                vinit = vinit + (zn, zn, zn, zn,
-                                 o_v[..., 0], o_v[..., 1], o_w)
-            vout = jax.lax.fori_loop(0, velocity_iterations, vel_pass, vinit)
-            vax, vay, wa_, vbx, vby, wb_ = vout[4:10]
+                cAfx, cAfy, aAf, vax, vay, wa_ = integrate_lane(
+                    cax, cay, aa_, vax, vay, wa_, ns_a)
+                cBfx, cBfy, aBf, vbx, vby, wb_ = integrate_lane(
+                    cbx, cby, ab_, vbx, vby, wb_, ns_b)
 
-            # ---- complete the remainder of the step for the pair
-            h = (1.0 - jnp.where(selwin, alpha_s, 1.0)) * dt
+                # ---- one packed scatter of body deltas (selected pairs are
+                # body-disjoint, so add == set)
+                def mk_delta(on, cfx, cfy, af, c0fx, c0fy, a0f, vfx, vfy, wf,
+                             c_o, a_o, c0_o, a0_o, al0_o, v_o, w_o, aw_o):
+                    onf = on.astype(jnp.float32)[..., None]
+                    d = jnp.stack([
+                        cfx - c_o[..., 0], cfy - c_o[..., 1], af - a_o,
+                        c0fx - c0_o[..., 0], c0fy - c0_o[..., 1], a0f - a0_o,
+                        alpha_s - al0_o,
+                        vfx - v_o[..., 0], vfy - v_o[..., 1], wf - w_o,
+                        (~aw_o).astype(jnp.float32)], axis=-1)
+                    return d * onf
 
-            def integrate_lane(cx, cy, a_, vx, vy, w_, movable, h=h):
-                t2 = h * h * (vx ** 2 + vy ** 2)
-                rat = jnp.where(
-                    t2 > settings.MAX_TRANSLATION_SQUARED,
-                    settings.MAX_TRANSLATION / jnp.sqrt(jnp.maximum(t2, 1e-30)),
-                    1.0)
-                vx = vx * rat
-                vy = vy * rat
-                rot = h * w_
-                ratr = jnp.where(
-                    rot * rot > settings.MAX_ROTATION_SQUARED,
-                    settings.MAX_ROTATION
-                    / jnp.abs(jnp.where(rot == 0.0, 1.0, rot)), 1.0)
-                w_ = w_ * ratr
-                return (jnp.where(movable, cx + h * vx, cx),
-                        jnp.where(movable, cy + h * vy, cy),
-                        jnp.where(movable, a_ + h * w_, a_), vx, vy, w_)
+                # leap of faith: sweep restarts at the position-solved configuration
+                dA = mk_delta(solve & ns_a, cAfx, cAfy, aAf, cax, cay, aa_,
+                              vax, vay, wa_, cA, aA, c0A, a0A, al0A, vA, wA, awA)
+                dB = mk_delta(solve & ns_b, cBfx, cBfy, aBf, cbx, cby, ab_,
+                              vbx, vby, wb_, cB, aB, c0B, a0B, al0B, vB, wB, awB)
+                bp = vscatter(bp, kbab, jnp.concatenate([dA, dB], axis=1))
+                if toi_neighbors:
+                    # kept neighbor contacts become touching (their Contact::Update
+                    # found a manifold — b2World.cpp:955-967)
+                    ntouch = ntouch | (vscatter(
+                        jnp.zeros((n_worlds, nc, 1), jnp.float32), nsel,
+                        n_keep.astype(jnp.float32)[..., None])[..., 0] > 0.5)
+                    # ---- commit kept dynamic neighbors (b2Island.cpp:489-523
+                    # integrates and writes back EVERY island body): sweep keeps
+                    # the tentative advance (no leap of faith for neighbors,
+                    # b2Island.cpp:468-474 touches only toiIndexA/B), velocity
+                    # from the island solve, position integrated by the remainder.
+                    # A body that is itself a selected TOI body this round is
+                    # excluded (its own pair's write wins; the reference's island
+                    # flag makes this case impossible in its sequential loop).
+                    ovx_f, ovy_f, ow_f = vout[14], vout[15], vout[16]
+                    nh = vgs(h, nparent)
+                    commit = n_keep & o_dyn & ~vgs(is_toi_body, other_body)
+                    o_cfx, o_cfy, o_af, ovx_f, ovy_f, ow_f = integrate_lane(
+                        o_ce[..., 0], o_ce[..., 1], o_ae, ovx_f, ovy_f, ow_f,
+                        commit, h=nh)
+                    # positions commit once per body (first kept slot); velocity
+                    # deltas accumulate across slots (Jacobi sum of the impulses
+                    # the reference applies sequentially)
+                    slot_f = jnp.broadcast_to(
+                        jnp.arange(NK, dtype=jnp.float32)[None, :], (n_worlds, NK))
+                    min_slot = vmin(nb + 1, jnp.where(commit, other_body, nb),
+                                    slot_f, jnp.inf)
+                    primary = commit & (slot_f == vgs(min_slot, other_body))
+                    pf = primary.astype(jnp.float32)
+                    cf = commit.astype(jnp.float32)
+                    d_pos = jnp.stack([
+                        o_cfx - og[..., 0], o_cfy - og[..., 1], o_af - og[..., 2],
+                        o_ce[..., 0] - og[..., 3], o_ce[..., 1] - og[..., 4],
+                        o_ae - og[..., 5], n_alpha - og[..., 6]],
+                        axis=-1) * pf[..., None]
+                    d_vel = jnp.stack([
+                        ovx_f - o_v[..., 0], ovy_f - o_v[..., 1], ow_f - o_w],
+                        axis=-1) * cf[..., None]
+                    d_awk = (pf * (1.0 - og[..., 10]))[..., None]
+                    bp = vscatter(bp, other_body,
+                                  jnp.concatenate([d_pos, d_vel, d_awk], axis=-1))
+                return bp, lane_touch | solve, ntouch
 
-            cAfx, cAfy, aAf, vax, vay, wa_ = integrate_lane(
-                cax, cay, aa_, vax, vay, wa_, ns_a)
-            cBfx, cBfy, aBf, vbx, vby, wb_ = integrate_lane(
-                cbx, cby, ab_, vbx, vby, wb_, ns_b)
+            def _no_substep(op):
+                bp, ntouch = op
+                return bp, lane_touch, ntouch
 
-            # ---- one packed scatter of body deltas (selected pairs are
-            # body-disjoint, so add == set)
-            def mk_delta(on, cfx, cfy, af, c0fx, c0fy, a0f, vfx, vfy, wf,
-                         c_o, a_o, c0_o, a0_o, al0_o, v_o, w_o, aw_o):
-                onf = on.astype(jnp.float32)[..., None]
-                d = jnp.stack([
-                    cfx - c_o[..., 0], cfy - c_o[..., 1], af - a_o,
-                    c0fx - c0_o[..., 0], c0fy - c0_o[..., 1], a0f - a0_o,
-                    alpha_s - al0_o,
-                    vfx - v_o[..., 0], vfy - v_o[..., 1], wf - w_o,
-                    (~aw_o).astype(jnp.float32)], axis=-1)
-                return d * onf
+            bp2, lane_touch2, ntouch2 = jax.lax.cond(
+                again, _substep, _no_substep, (bp, ntouch))
+            return bp2, lane_tc, lane_touch2, ntouch2, k + 1, again
 
-            # leap of faith: sweep restarts at the position-solved configuration
-            dA = mk_delta(solve & ns_a, cAfx, cAfy, aAf, cax, cay, aa_,
-                          vax, vay, wa_, cA, aA, c0A, a0A, al0A, vA, wA, awA)
-            dB = mk_delta(solve & ns_b, cBfx, cBfy, aBf, cbx, cby, ab_,
-                          vbx, vby, wb_, cB, aB, c0B, a0B, al0B, vB, wB, awB)
-            bp = vscatter(bp, kbab, jnp.concatenate([dA, dB], axis=1))
-            if toi_neighbors:
-                # kept neighbor contacts become touching (their Contact::Update
-                # found a manifold — b2World.cpp:955-967)
-                ntouch = ntouch | (vscatter(
-                    jnp.zeros((n_worlds, nc, 1), jnp.float32), nsel,
-                    n_keep.astype(jnp.float32)[..., None])[..., 0] > 0.5)
-                # ---- commit kept dynamic neighbors (b2Island.cpp:489-523
-                # integrates and writes back EVERY island body): sweep keeps
-                # the tentative advance (no leap of faith for neighbors,
-                # b2Island.cpp:468-474 touches only toiIndexA/B), velocity
-                # from the island solve, position integrated by the remainder.
-                # A body that is itself a selected TOI body this round is
-                # excluded (its own pair's write wins; the reference's island
-                # flag makes this case impossible in its sequential loop).
-                ovx_f, ovy_f, ow_f = vout[14], vout[15], vout[16]
-                nh = vgs(h, nparent)
-                commit = n_keep & o_dyn & ~vgs(is_toi_body, other_body)
-                o_cfx, o_cfy, o_af, ovx_f, ovy_f, ow_f = integrate_lane(
-                    o_ce[..., 0], o_ce[..., 1], o_ae, ovx_f, ovy_f, ow_f,
-                    commit, h=nh)
-                # positions commit once per body (first kept slot); velocity
-                # deltas accumulate across slots (Jacobi sum of the impulses
-                # the reference applies sequentially)
-                slot_f = jnp.broadcast_to(
-                    jnp.arange(NK, dtype=jnp.float32)[None, :], (n_worlds, NK))
-                min_slot = vmin(nb + 1, jnp.where(commit, other_body, nb),
-                                slot_f, jnp.inf)
-                primary = commit & (slot_f == vgs(min_slot, other_body))
-                pf = primary.astype(jnp.float32)
-                cf = commit.astype(jnp.float32)
-                d_pos = jnp.stack([
-                    o_cfx - og[..., 0], o_cfy - og[..., 1], o_af - og[..., 2],
-                    o_ce[..., 0] - og[..., 3], o_ce[..., 1] - og[..., 4],
-                    o_ae - og[..., 5], n_alpha - og[..., 6]],
-                    axis=-1) * pf[..., None]
-                d_vel = jnp.stack([
-                    ovx_f - o_v[..., 0], ovy_f - o_v[..., 1], ow_f - o_w],
-                    axis=-1) * cf[..., None]
-                d_awk = (pf * (1.0 - og[..., 10]))[..., None]
-                bp = vscatter(bp, other_body,
-                              jnp.concatenate([d_pos, d_vel, d_awk], axis=-1))
-            return bp, lane_touch | solve, ntouch
+        def toi_cond(carry):
+            return (carry[4] < toi_rounds) & carry[5]
 
-        def _no_substep(op):
-            bp, ntouch = op
-            return bp, lane_touch, ntouch
+        bp, lane_tc, lane_touch, ntouch_all, _, _ = jax.lax.while_loop(
+            toi_cond, round_body,
+            (body_pack0, lane_tc0, jnp.zeros((n_worlds, kcap), bool),
+             jnp.zeros((n_worlds, nc), bool),
+             jnp.int32(0), jnp.bool_(True)))
 
-        bp2, lane_touch2, ntouch2 = jax.lax.cond(
-            again, _substep, _no_substep, (bp, ntouch))
-        return bp2, lane_tc, lane_touch2, ntouch2, k + 1, again
+        # scatter the lane sub-step counts + TOI touches back to contact slots;
+        # a TOI sub-step that found a manifold makes the pair touching NOW and
+        # fires BeginContact this step (b2World::StepSolveTOI's Contact::Update)
+        tc_add = vscatter(jnp.zeros((n_worlds, nc, 2), jnp.float32), sel,
+                          jnp.stack([lane_tc - lane_tc0,
+                                     lane_touch.astype(jnp.float32)], axis=-1))
+        toi_touch = (tc_add[..., 1] > 0.5) | ntouch_all
+        contacts2 = dataclasses.replace(
+            contacts,
+            toi_count=contacts.toi_count + tc_add[..., 0].astype(jnp.int32),
+            touching=contacts.touching | toi_touch)
+        bodies2 = dataclasses.replace(
+            bodies, c=bp[..., 0:2], a=bp[..., 2], c0=bp[..., 3:5], a0=bp[..., 5],
+            alpha0=jnp.zeros((n_worlds, nb), jnp.float32),
+            v=bp[..., 7:9], w=bp[..., 9], awake=bp[..., 10] > 0.5)
+        new_states = dataclasses.replace(states, bodies=bodies2,
+                                         contacts=contacts2)
+        toi_begin = toi_touch & ~contacts.touching
+        return new_states, toi_begin
 
-    def toi_cond(carry):
-        return (carry[4] < toi_rounds) & carry[5]
+    def _toi_none(_):
+        bodies0 = dataclasses.replace(
+            bodies, alpha0=jnp.zeros((n_worlds, nb), jnp.float32))
+        return (dataclasses.replace(states, bodies=bodies0),
+                jnp.zeros((n_worlds, nc), bool))
 
-    bp, lane_tc, lane_touch, ntouch_all, _, _ = jax.lax.while_loop(
-        toi_cond, round_body,
-        (body_pack0, lane_tc0, jnp.zeros((n_worlds, kcap), bool),
-         jnp.zeros((n_worlds, nc), bool),
-         jnp.int32(0), jnp.bool_(True)))
-
-    # scatter the lane sub-step counts + TOI touches back to contact slots;
-    # a TOI sub-step that found a manifold makes the pair touching NOW and
-    # fires BeginContact this step (b2World::StepSolveTOI's Contact::Update)
-    tc_add = vscatter(jnp.zeros((n_worlds, nc, 2), jnp.float32), sel,
-                      jnp.stack([lane_tc - lane_tc0,
-                                 lane_touch.astype(jnp.float32)], axis=-1))
-    toi_touch = (tc_add[..., 1] > 0.5) | ntouch_all
-    contacts2 = dataclasses.replace(
-        contacts,
-        toi_count=contacts.toi_count + tc_add[..., 0].astype(jnp.int32),
-        touching=contacts.touching | toi_touch)
-    bodies2 = dataclasses.replace(
-        bodies, c=bp[..., 0:2], a=bp[..., 2], c0=bp[..., 3:5], a0=bp[..., 5],
-        alpha0=jnp.zeros((n_worlds, nb), jnp.float32),
-        v=bp[..., 7:9], w=bp[..., 9], awake=bp[..., 10] > 0.5)
-    new_states = dataclasses.replace(states, bodies=bodies2,
-                                     contacts=contacts2)
-    toi_begin = toi_touch & ~contacts.touching
+    new_states, toi_begin = jax.lax.cond(
+        jnp.any(lane_on), _toi_rounds, _toi_none, 0)
     return new_states, toi_overflow, toi_begin
 
 
@@ -2044,10 +2065,17 @@ def _step_active(states, dt, velocity_iterations, position_iterations,
     # events every few steps while a pile settles) does NOT invalidate
     # it — only an actual pair-table change does. The solve middle ranks
     # the active lanes within each color itself.
-    pact = (states.contacts.f_a >= 0) & (pt.dyn_a | pt.dyn_b)
+    # colors are computed on the ACTIVE constraint graph; the cross-step
+    # cache keys on (pair table, active mask, dynamic masks). Coloring the
+    # pair-graph superset was tried (cache survives touch churn) but lost:
+    # the superset needs ~2x the colors, and every extra color costs a
+    # 256-lane chunk pass in the solve middle each of 11 iterations —
+    # measured 823 vs 848 worlds*steps/s at 128x991-body worlds.
+    cgr = cc_active
     colors_same = valid_all \
         & jnp.all(states.contacts.f_a == cache.sig_f_a) \
         & jnp.all(states.contacts.f_b == cache.sig_f_b) \
+        & jnp.all(cgr == cache.sig_cc) \
         & jnp.all(pt.dyn_a == cache.sig_dyn_a) \
         & jnp.all(pt.dyn_b == cache.sig_dyn_b)
 
@@ -2055,7 +2083,7 @@ def _step_active(states, dt, velocity_iterations, position_iterations,
         return jax.vmap(
             lambda a, b, da, db, pa: coloring.color_constraints(
                 a, b, da, db, pa, nb_, max_colors, with_rank=True)
-        )(ba, bb, pt.dyn_a, pt.dyn_b, pact)
+        )(ba, bb, pt.dyn_a, pt.dyn_b, cgr)
 
     color, color_overflow, rank = jax.lax.cond(
         colors_same, lambda _: (cache.color, cache.color_overflow,
@@ -2071,7 +2099,7 @@ def _step_active(states, dt, velocity_iterations, position_iterations,
         sig_jba=jb_a if jb_a is not None else cache.sig_jba,
         sig_jbb=jb_b if jb_a is not None else cache.sig_jbb,
         sig_f_a=states.contacts.f_a, sig_f_b=states.contacts.f_b,
-        sig_cc=pact, sig_dyn_a=pt.dyn_a, sig_dyn_b=pt.dyn_b)
+        sig_cc=cgr, sig_dyn_a=pt.dyn_a, sig_dyn_b=pt.dyn_b)
 
     pre = jax.vmap(
         lambda s, p, l, aw, cca, co, rk, ov, a_, b_: _pre_finish(

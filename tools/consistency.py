@@ -81,70 +81,85 @@ def _mutation_sequence():
     return run
 
 
-def scene_list(steps):
+# reference per-scene regression windows (TestEntries.cpp:81-146
+# mtStepCount) for the headline scenes, applied by --headline-windows
+HEADLINE_STEPS = {
+    "multithread_demo200": 1800,
+    "tumbler80": 1800,
+    "tiles": 1020,
+    "pyramid10": 1000,
+    "vertical_stack10": 480,
+    "many_bodies400": 480,
+}
+
+
+def scene_list(steps, headline_windows=False):
+    def w(name):
+        return HEADLINE_STEPS.get(name, steps) if headline_windows else steps
     from box2d_mt_tpu.models import scenes
     return [
-        ("hello_world", scenes.hello_world, steps),
-        ("falling_circle", scenes.falling_circle, steps),
-        ("vertical_stack10", lambda: scenes.vertical_stack(10), steps),
-        ("pyramid10", lambda: scenes.pyramid(10), steps),
-        ("revolute_pendulum", scenes.revolute_pendulum, steps),
-        ("distance_pendulum", scenes.distance_pendulum, steps),
-        ("prismatic_slide", scenes.prismatic_slide, steps),
-        ("tumbler80", lambda: scenes.tumbler(80), steps),
-        ("weld_pendulum", scenes.weld_pendulum, steps),
-        ("weld_soft", lambda: scenes.weld_pendulum(soft=True), steps),
-        ("friction_top_down", scenes.friction_top_down, steps),
-        ("rope_swing", scenes.rope_swing, steps),
-        ("motor_drive", scenes.motor_drive, steps),
-        ("wheel_car", scenes.wheel_car, steps),
-        ("gear_train", scenes.gear_train, steps),
-        ("pulley_pair", scenes.pulley_pair, steps),
-        ("multithread_demo200", lambda: scenes.multithread_demo(200), steps),
-        ("many_bodies400", lambda: scenes.many_bodies(400, 2.5), steps),
-        ("bullet_wall", _bullet_scene, steps),
+        ("hello_world", scenes.hello_world, w("hello_world")),
+        ("falling_circle", scenes.falling_circle, w("falling_circle")),
+        ("vertical_stack10", lambda: scenes.vertical_stack(10), w("vertical_stack10")),
+        ("pyramid10", lambda: scenes.pyramid(10), w("pyramid10")),
+        ("revolute_pendulum", scenes.revolute_pendulum, w("revolute_pendulum")),
+        ("distance_pendulum", scenes.distance_pendulum, w("distance_pendulum")),
+        ("prismatic_slide", scenes.prismatic_slide, w("prismatic_slide")),
+        ("tumbler80", lambda: scenes.tumbler(80), w("tumbler80")),
+        ("weld_pendulum", scenes.weld_pendulum, w("weld_pendulum")),
+        ("weld_soft", lambda: scenes.weld_pendulum(soft=True), w("weld_soft")),
+        ("friction_top_down", scenes.friction_top_down, w("friction_top_down")),
+        ("rope_swing", scenes.rope_swing, w("rope_swing")),
+        ("motor_drive", scenes.motor_drive, w("motor_drive")),
+        ("wheel_car", scenes.wheel_car, w("wheel_car")),
+        ("gear_train", scenes.gear_train, w("gear_train")),
+        ("pulley_pair", scenes.pulley_pair, w("pulley_pair")),
+        ("multithread_demo200", lambda: scenes.multithread_demo(200), w("multithread_demo200")),
+        ("many_bodies400", lambda: scenes.many_bodies(400, 2.5), w("many_bodies400")),
+        ("bullet_wall", _bullet_scene, w("bullet_wall")),
         # round-3 zoo expansion (TestEntries.cpp:81-146 parity)
-        ("dominos", scenes.dominos, steps),
-        ("web", scenes.web, steps),
-        ("bridge", lambda: scenes.bridge(12), steps),
-        ("cantilever", lambda: scenes.cantilever(4), steps),
-        ("chain_links", lambda: scenes.chain_links(10), steps),
-        ("sphere_stack", lambda: scenes.sphere_stack(5), steps),
-        ("heavy_on_light", scenes.heavy_on_light, steps),
-        ("tiles", lambda: scenes.tiles(4, 20, 2), steps),
-        ("conveyor_belt", scenes.conveyor_belt, steps),
-        ("one_sided_platform", scenes.one_sided_platform, steps),
-        ("slider_crank", scenes.slider_crank, steps),
-        ("add_pair", lambda: scenes.add_pair(60), steps),
-        ("confined", lambda: scenes.confined(4, 3), steps),
-        ("mobile", lambda: scenes.mobile(3), steps),
-        ("body_types", scenes.body_types, steps),
-        ("varying_friction", scenes.varying_friction, steps),
-        ("varying_restitution", scenes.varying_restitution, steps),
-        ("compound_shapes", lambda: scenes.compound_shapes(4), steps),
-        ("car", scenes.car, steps),
-        ("sensor_zone", scenes.sensor_zone, steps),
-        ("collision_filtering", scenes.collision_filtering, steps),
-        ("pinball", scenes.pinball, steps),
-        ("theo_jansen", scenes.theo_jansen, steps),
-        ("breakable", scenes.breakable, steps),
-        ("bullet_test", scenes.bullet_test, steps),
-        ("continuous_test", scenes.continuous_test, steps),
-        ("heavy_on_light_two", scenes.heavy_on_light_two, steps),
-        ("mobile_balanced", lambda: scenes.mobile_balanced(3), steps),
-        ("apply_force", scenes.apply_force, steps),
-        ("edge_shapes", lambda: scenes.edge_shapes(8), steps),
-        ("poly_shapes", lambda: scenes.poly_shapes(8), steps),
-        ("character_collision", scenes.character_collision, steps),
+        ("dominos", scenes.dominos, w("dominos")),
+        ("web", scenes.web, w("web")),
+        ("bridge", lambda: scenes.bridge(12), w("bridge")),
+        ("cantilever", lambda: scenes.cantilever(4), w("cantilever")),
+        ("chain_links", lambda: scenes.chain_links(10), w("chain_links")),
+        ("sphere_stack", lambda: scenes.sphere_stack(5), w("sphere_stack")),
+        ("heavy_on_light", scenes.heavy_on_light, w("heavy_on_light")),
+        ("tiles", lambda: scenes.tiles(4, 20, 2), w("tiles")),
+        ("conveyor_belt", scenes.conveyor_belt, w("conveyor_belt")),
+        ("one_sided_platform", scenes.one_sided_platform, w("one_sided_platform")),
+        ("slider_crank", scenes.slider_crank, w("slider_crank")),
+        ("add_pair", lambda: scenes.add_pair(60), w("add_pair")),
+        ("confined", lambda: scenes.confined(4, 3), w("confined")),
+        ("mobile", lambda: scenes.mobile(3), w("mobile")),
+        ("body_types", scenes.body_types, w("body_types")),
+        ("varying_friction", scenes.varying_friction, w("varying_friction")),
+        ("varying_restitution", scenes.varying_restitution, w("varying_restitution")),
+        ("compound_shapes", lambda: scenes.compound_shapes(4), w("compound_shapes")),
+        ("car", scenes.car, w("car")),
+        ("sensor_zone", scenes.sensor_zone, w("sensor_zone")),
+        ("collision_filtering", scenes.collision_filtering, w("collision_filtering")),
+        ("pinball", scenes.pinball, w("pinball")),
+        ("theo_jansen", scenes.theo_jansen, w("theo_jansen")),
+        ("breakable", scenes.breakable, w("breakable")),
+        ("bullet_test", scenes.bullet_test, w("bullet_test")),
+        ("continuous_test", scenes.continuous_test, w("continuous_test")),
+        ("heavy_on_light_two", scenes.heavy_on_light_two, w("heavy_on_light_two")),
+        ("mobile_balanced", lambda: scenes.mobile_balanced(3), w("mobile_balanced")),
+        ("apply_force", scenes.apply_force, w("apply_force")),
+        ("edge_shapes", lambda: scenes.edge_shapes(8), w("edge_shapes")),
+        ("poly_shapes", lambda: scenes.poly_shapes(8), w("poly_shapes")),
+        ("character_collision", scenes.character_collision, w("character_collision")),
         # zoo wave 6
-        ("chain_problem", scenes.chain_problem, steps),
-        ("edge_test", scenes.edge_test, steps),
-        ("skier", scenes.skier, steps),
-        ("collision_processing", lambda: scenes.collision_processing(7), steps),
+        ("chain_problem", scenes.chain_problem, w("chain_problem")),
+        ("edge_test", scenes.edge_test, w("edge_test")),
+        ("skier", scenes.skier, w("skier")),
+        ("collision_processing", lambda: scenes.collision_processing(7), w("collision_processing")),
         ("sleep_collide_perf",
-         lambda: scenes.sleep_collide_perf(2, 6, 1, 20), steps),
-        ("basic_slider_crank", scenes.basic_slider_crank, steps),
-        ("shape_editing", scenes.shape_editing, steps),
+         lambda: scenes.sleep_collide_perf(2, 6, 1, 20),
+         w("sleep_collide_perf")),
+        ("basic_slider_crank", scenes.basic_slider_crank, w("basic_slider_crank")),
+        ("shape_editing", scenes.shape_editing, w("shape_editing")),
     ]
 
 
@@ -154,6 +169,8 @@ def main():
     ap.add_argument("--shard", action="store_true")
     ap.add_argument("--lanes", type=int, default=4)
     ap.add_argument("--out", default="consistency_report.csv")
+    ap.add_argument("--headline-windows", action="store_true",
+                    help="reference mtStepCount windows (240-1800) for headline scenes")
     args = ap.parse_args()
 
     from box2d_mt_tpu import world
@@ -169,7 +186,8 @@ def main():
         mesh = Mesh(np.array(devs[:nd]), axis_names=("worlds",))
 
     rows = []
-    for name, build, steps in scene_list(args.steps):
+    for name, build, steps in scene_list(
+            args.steps, headline_windows=args.headline_windows):
         t0 = time.perf_counter()
         state = build()
         kinds = world.possible_kinds(state)
