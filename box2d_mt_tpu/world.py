@@ -541,13 +541,17 @@ def _solve_middle_b(states: State, pre: _PreSolve, dt,
     w = bs[:, 2]
 
     have_joints = joints_present(states.joints)
-    # fused Pallas middle for big joint-free worlds: the XLA chunk loops
-    # below cost a fixed dispatch bundle per (iteration x color chunk),
-    # which dominates once chunks are many (see ops/pallas_solve.py)
+    # fused Pallas middle for big worlds: the XLA chunk loops below cost a
+    # fixed dispatch bundle per (iteration x color chunk), which dominates
+    # once chunks are many (see ops/pallas_solve.py). Joint-free worlds
+    # run the whole middle as ONE kernel; worlds WITH joints run the
+    # sandwich (one contact-iteration kernel per launch, XLA joint color
+    # passes interleaved in reference island order).
     _min_nb = int(os.environ.get("BOX2D_TPU_PALLAS_SOLVE_MIN_NB", "512"))
-    use_pallas_mid = (not have_joints and nb >= _min_nb
-                      and (_use_pallas_toi()
-                           or os.environ.get("BOX2D_TPU_FORCE_PALLAS_SOLVE")))
+    _pallas_on = (_use_pallas_toi()
+                  or os.environ.get("BOX2D_TPU_FORCE_PALLAS_SOLVE"))
+    use_pallas_mid = not have_joints and nb >= _min_nb and _pallas_on
+    use_pallas_hyb = have_joints and nb >= _min_nb and _pallas_on
 
     # ---- compact constraints into chunk-aligned color-packed lanes. The
     # color and within-color rank come straight out of the coloring rounds,
@@ -561,9 +565,10 @@ def _solve_middle_b(states: State, pre: _PreSolve, dt,
     # worlds where a full-width pass would thrash (giant colors just take
     # several passes). The Pallas middle prefers narrow chunks (pass count
     # is nearly free inside the kernel; padding is not).
-    ck = pallas_solve.CK if use_pallas_mid else min(nc, nb, 2048)
+    _pk = use_pallas_mid or use_pallas_hyb
+    ck = pallas_solve.CK if _pk else min(nc, nb, 2048)
     p_total = nc + max_colors * ck
-    if use_pallas_mid:
+    if _pk:
         # kernel blocks are CK-wide: round the packed table up to a CK
         # multiple (pad lanes map to the zero dump row -> inactive)
         p_total = -(-p_total // pallas_solve.CK) * pallas_solve.CK
@@ -615,6 +620,84 @@ def _solve_middle_b(states: State, pre: _PreSolve, dt,
         jok = jnp.ones((n_worlds, nb), bool)
         return (ni_it, ti_it, c, a, v, w, min_sep, jok,
                 states.joints), dropped
+
+    if use_pallas_hyb:
+        # sandwich: packed constraint table + impulse planes persist in
+        # HBM; one contact-iteration kernel per launch with the XLA joint
+        # color passes interleaved in reference island order (joints then
+        # contacts per velocity iteration, contacts then joints per
+        # position iteration, b2Island.cpp:268-276, 318-335)
+        from .joints import (init_joints, warm_start_joints,
+                             solve_joint_velocity, solve_joint_position,
+                             store_joint_impulses)
+        interp = not _use_pallas_toi()
+        blob_t = jax.vmap(csolver.pack_cc_blob_t)(cc, pre.ni_it, pre.ti_it)
+        pblob, aux = pallas_solve.pack_packed(blob_t, dest, n_chunks,
+                                              p_total, interpret=interp)
+        jdata, jstate = jax.vmap(
+            lambda j, b, aw, vv, ww, dtr: init_joints(
+                j, b, aw, vv, ww, dt, dtr, warm_starting, nb, max_colors)
+        )(states.joints, bodies, pre.awake, v, w, pre.dt_ratio)
+        v, w = jax.vmap(warm_start_joints)(jdata, jstate, v, w)
+        zeros5 = jnp.zeros((n_worlds, 5, nb), jnp.float32)
+
+        def to_rows(v, w):
+            return jnp.concatenate(
+                [jnp.stack([v[..., 0], v[..., 1], w], axis=-2), zeros5],
+                axis=1)
+
+        vel = to_rows(v, w)
+        for _ in range(velocity_iterations):
+            v = jnp.stack([vel[:, 0], vel[:, 1]], axis=-1)
+            w = vel[:, 2]
+            jstate, v, w = jax.vmap(
+                lambda jd, js, vv, ww: solve_joint_velocity(
+                    jd, js, vv, ww, dt, max_colors))(jdata, jstate, v, w)
+            vel = to_rows(v, w)
+            vel, aux = pallas_solve.vel_iter_packed(
+                pblob, aux, vel, n_chunks, interpret=interp)
+        v = jnp.stack([vel[:, 0], vel[:, 1]], axis=-1)
+        w = vel[:, 2]
+
+        c, a, v, w = jax.vmap(
+            lambda c_, a_, vv, ww, m_: integrate.integrate_positions(
+                c_, a_, vv, ww, dt, m_))(bodies.c, bodies.a, v, w,
+                                         pre.solve_mask)
+        movable_row = pre.solve_mask.astype(jnp.float32)[:, None]
+        zeros4 = jnp.zeros((n_worlds, 4, nb), jnp.float32)
+
+        def pos_rows(c_, a_):
+            return jnp.concatenate(
+                [c_[..., 0][:, None], c_[..., 1][:, None], a_[:, None],
+                 movable_row, zeros4], axis=1)
+
+        pos = pos_rows(c, a)
+        jok = jnp.ones((n_worlds, nb), bool)
+        for _ in range(position_iterations):
+            pos, aux = pallas_solve.pos_iter_packed(
+                pblob, aux, pos, n_chunks, interpret=interp)
+            c_ = jnp.stack([pos[:, 0], pos[:, 1]], axis=-1)
+            a_ = pos[:, 2]
+            c_, a_, jok = jax.vmap(
+                lambda jd, js, cx, ax: solve_joint_position(
+                    jd, js, cx, ax, max_colors))(jdata, jstate, c_, a_)
+            pos = pos_rows(c_, a_)
+        c = jnp.stack([pos[:, 0], pos[:, 1]], axis=-1)
+        a = pos[:, 2]
+
+        auxs = pallas_solve.unpack_packed(aux, dest, n_chunks,
+                                          interpret=interp)
+        solved = dest < p_total
+        ni_it = jnp.where(solved[..., None],
+                          jnp.stack([auxs[:, 0], auxs[:, 1]], axis=-1),
+                          pre.ni_it)
+        ti_it = jnp.where(solved[..., None],
+                          jnp.stack([auxs[:, 2], auxs[:, 3]], axis=-1),
+                          pre.ti_it)
+        min_sep = jnp.where(solved, auxs[:, 4], 0.0)
+        joints_new = jax.vmap(store_joint_impulses)(states.joints, jstate)
+        return (ni_it, ti_it, c, a, v, w, min_sep, jok,
+                joints_new), dropped
 
     slot_ids = jnp.broadcast_to(jnp.arange(nc, dtype=jnp.int32),
                                 (n_worlds, nc))

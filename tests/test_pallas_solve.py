@@ -21,10 +21,18 @@ def _roll(states, steps, kinds, dt):
     return states
 
 
-@pytest.mark.parametrize("scene", ["pyramid", "vertical_stack"])
+@pytest.mark.parametrize("scene", ["pyramid", "vertical_stack", "bridge"])
 def test_pallas_middle_matches_xla(scene, monkeypatch):
-    state = getattr(scenes, scene)(6) if scene == "pyramid" \
-        else scenes.vertical_stack(6)
+    """pyramid/vertical_stack exercise the fully-fused contact kernel;
+    bridge (revolute joints + boxes) exercises the joint-world SANDWICH
+    (pack/vel-iter/pos-iter/unpack kernels with XLA joint passes
+    interleaved)."""
+    if scene == "bridge":
+        state = scenes.bridge(8)
+    elif scene == "pyramid":
+        state = scenes.pyramid(6)
+    else:
+        state = scenes.vertical_stack(6)
     states = replicate_state(state, 2)
     kinds = W.possible_kinds(state)
     dt = jnp.float32(1 / 60)

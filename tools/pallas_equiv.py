@@ -78,6 +78,79 @@ def solve_middle_equiv(rows, n_worlds):
             "max_abs_diff": diffs, "tol": SOLVE_TOL, "ok": bool(state_ok)}
 
 
+def joint_world():
+    """512-body-slot world with BOTH joints and contacts: a long revolute
+    bridge with circles dropped onto it — exercises the sandwich kernels
+    (pack / vel-iter / pos-iter / unpack with XLA joint passes between)."""
+    from box2d_mt_tpu import settings, shapes
+    from box2d_mt_tpu.world import WorldBuilder
+    wb = WorldBuilder(gravity=(0.0, -10.0))
+    ground = wb.create_body()
+    wb.create_fixture(ground, shapes.Edge((-220.0, -8.0), (220.0, -8.0)))
+    n_planks = 380
+    prev = ground
+    x = -190.0
+    for i in range(n_planks):
+        b = wb.create_body(body_type=settings.DYNAMIC_BODY,
+                           position=(x + 0.5, 5.0))
+        wb.create_fixture(b, shapes.Polygon.box(0.5, 0.125), density=20.0,
+                          friction=0.2)
+        wb.create_revolute_joint(prev, b, (x, 5.0))
+        prev = b
+        x += 1.0
+    for i in range(100):
+        b = wb.create_body(body_type=settings.DYNAMIC_BODY,
+                           position=(-150.0 + 3.0 * i, 8.0 + (i % 5)))
+        wb.create_fixture(b, shapes.Circle(0.4), density=1.0, friction=0.3)
+    return wb.freeze()
+
+
+def solve_middle_equiv_joints(n_worlds):
+    from box2d_mt_tpu import world as Wd, settings
+    from box2d_mt_tpu.parallel.sharding import make_rollout, replicate_state
+
+    state = joint_world()
+    nb = int(state.bodies.body_type.shape[0])
+    assert nb >= 512, nb
+    states = replicate_state(state, n_worlds)
+    kinds = Wd.possible_kinds(state)
+    dt = jnp.float32(1 / 60)
+    warm = make_rollout(30, kinds=kinds)
+    states = warm(states, dt)
+    jax.block_until_ready(states.bodies.c)
+
+    collide = jax.jit(lambda s: Wd._collide_b(s, kinds))
+    man, sensor, stouch, ba, bb = collide(states)
+    enabled = jnp.ones(states.contacts.f_a.shape, bool)
+    pre = jax.jit(jax.vmap(
+        lambda s, m, sn, st_, en, a_, b_: Wd._pre_solve(
+            s, dt, True, settings.MAX_COLORS, m, sn, st_, en, a_, b_)))(
+        states, man, sensor, stouch, enabled, ba, bb)
+    jax.block_until_ready(pre.bs)
+
+    def run():
+        fn = jax.jit(lambda s, p: Wd._solve_middle_b(
+            s, p, dt, 8, 3, True, settings.MAX_COLORS)[0])
+        out = fn(states, pre)
+        jax.block_until_ready(out[0])
+        return [np.asarray(x) for x in out[:7]]
+
+    os.environ["BOX2D_TPU_NO_PALLAS"] = "1"   # XLA interleaved path
+    jax.clear_caches()
+    ref = run()
+    del os.environ["BOX2D_TPU_NO_PALLAS"]     # sandwich kernels (on TPU)
+    jax.clear_caches()
+    got = run()
+
+    names = ["ni", "ti", "c", "a", "v", "w", "min_sep"]
+    diffs = {n: float(np.max(np.abs(g - r)))
+             for n, g, r in zip(names, got, ref)}
+    state_ok = all(diffs[n] <= SOLVE_TOL for n in names[:6])
+    return {"scene": "bridge+circles (joints)", "n_bodies": nb,
+            "n_worlds": n_worlds, "max_abs_diff": diffs,
+            "tol": SOLVE_TOL, "ok": bool(state_ok)}
+
+
 def toi_equiv():
     from box2d_mt_tpu.ops import distance as dst
     from box2d_mt_tpu.ops import pallas_toi as ptoi
@@ -132,6 +205,12 @@ def main():
             out["solve_middle"].append(
                 {"rows": rows, "n_worlds": w, "ok": False,
                  "error": f"{type(e).__name__}: {e}"[:400]})
+    try:
+        out["solve_middle"].append(solve_middle_equiv_joints(8))
+    except Exception as e:
+        out["solve_middle"].append(
+            {"scene": "joints", "ok": False,
+             "error": f"{type(e).__name__}: {e}"[:400]})
     try:
         out["toi"] = toi_equiv()
     except Exception as e:
