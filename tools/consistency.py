@@ -171,7 +171,11 @@ def main():
     ap.add_argument("--out", default="consistency_report.csv")
     ap.add_argument("--headline-windows", action="store_true",
                     help="reference mtStepCount windows (240-1800) for headline scenes")
+    ap.add_argument("--budget-s", type=float, default=0.0,
+                    help="wall-clock budget: stop cleanly (CSV intact) "
+                         "after the current scene once exceeded; 0 = none")
     args = ap.parse_args()
+    sweep_t0 = time.perf_counter()
 
     from box2d_mt_tpu import world
     from box2d_mt_tpu.parallel.sharding import (make_rollout,
@@ -185,9 +189,32 @@ def main():
         nd = max(d for d in (2, 4, 8) if d <= len(devs))
         mesh = Mesh(np.array(devs[:nd]), axis_names=("worlds",))
 
+    # incremental CSV (the TestMT.cpp always-emits discipline): each row is
+    # flushed as it completes, so an interrupted sweep still leaves a valid
+    # artifact covering every scene that ran
+    fieldnames = ["scene", "bodies", "steps", "lanes", "rerun_bitexact",
+                  "lanes_bitexact", "no_nan", "sharded_bitexact",
+                  "shard_maxdiff", "steps_per_sec", "wall_s", "passed"]
+    csv_f = open(args.out, "w", newline="")
+    wtr = csv.DictWriter(csv_f, fieldnames=fieldnames)
+    wtr.writeheader()
+    csv_f.flush()
+
+    def emit(row):
+        rows.append(row)
+        wtr.writerow(row)
+        csv_f.flush()
+        print(",".join(str(v) for v in row.values()), flush=True)
+
     rows = []
+    budget_hit = False
     for name, build, steps in scene_list(
             args.steps, headline_windows=args.headline_windows):
+        if args.budget_s and time.perf_counter() - sweep_t0 > args.budget_s:
+            print(f"budget {args.budget_s}s exhausted before {name}; "
+                  "stopping (CSV covers completed scenes)", flush=True)
+            budget_hit = True
+            break
         t0 = time.perf_counter()
         state = build()
         kinds = world.possible_kinds(state)
@@ -250,24 +277,21 @@ def main():
             wall_s=round(total, 1),
             passed=bool(rerun_ok and lane_ok and nan_ok
                         and (shard_ok in ("", True))))
-        rows.append(row)
-        print(",".join(str(v) for v in row.values()), flush=True)
+        emit(row)
 
     # mutation-sequence reproducibility (not a rollout — host-driven)
-    run = _mutation_sequence()
-    tr1 = run(40)
-    tr2 = run(40)
-    mut_ok = np.array_equal(tr1, tr2)
-    rows.append(dict(scene="mutation_sequence", bodies="-", steps=40,
-                     lanes=1, rerun_bitexact=mut_ok, lanes_bitexact="",
-                     no_nan=not np.any(np.isnan(tr1)), sharded_bitexact="",
-                     steps_per_sec="", wall_s="", passed=bool(mut_ok)))
-    print(f"mutation_sequence passed={mut_ok}", flush=True)
+    if not budget_hit:
+        run = _mutation_sequence()
+        tr1 = run(40)
+        tr2 = run(40)
+        mut_ok = np.array_equal(tr1, tr2)
+        emit(dict(scene="mutation_sequence", bodies="-", steps=40,
+                  lanes=1, rerun_bitexact=mut_ok, lanes_bitexact="",
+                  no_nan=bool(not np.any(np.isnan(tr1))),
+                  sharded_bitexact="", shard_maxdiff="",
+                  steps_per_sec="", wall_s="", passed=bool(mut_ok)))
 
-    with open(args.out, "w", newline="") as f:
-        wtr = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
-        wtr.writeheader()
-        wtr.writerows(rows)
+    csv_f.close()
     n_fail = sum(1 for r in rows if not r["passed"])
     print(f"\n{len(rows)} scenes, {n_fail} failures -> {args.out}")
     return 1 if n_fail else 0

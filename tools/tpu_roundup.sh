@@ -14,5 +14,5 @@ timeout 1800 python bench.py > /tmp/bench_last.json   # no pipe: fail loudly
 cat /tmp/bench_last.json
 echo "== profile phases (512 worlds) =="
 timeout 1200 python tools/profile_phases.py --worlds 512 --rows 10 --json \
-    > PROFILE_r03.json
-tail -c 400 PROFILE_r03.json
+    > PROFILE_r05.json
+tail -c 400 PROFILE_r05.json
