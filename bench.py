@@ -79,6 +79,14 @@ def main():
 
     ok, pf_msg = _preflight()
     if not ok:
+        # transient tunnel flakes are observed to clear within seconds
+        # (a 90s-timeout failure followed by a 10s-init success); one
+        # retry before declaring the device unavailable
+        sys.stderr.write(f"[bench] preflight failed ({pf_msg}); "
+                         "retrying once\n")
+        time.sleep(10)
+        ok, pf_msg = _preflight()
+    if not ok:
         _emit(0.0, "worlds*steps/s", "bench unavailable: " + pf_msg, 0.0,
               {"errors": {"preflight": pf_msg}})
         return 0
